@@ -1,0 +1,97 @@
+"""Determinism-contract expression helpers (SURVEY.md §5.3).
+
+Cross-engine hash risk is concentrated here: every declared query
+builds its float/timestamp arithmetic from these helpers, and every
+oracle SQL string uses the matching SQL shapes (the ``ORACLE_*``
+templates below), so the two dialects can never drift query-by-query.
+
+Rules implemented:
+1. Money/quantity sums accumulate in DECIMAL(24,6) — exact, hence
+   order-insensitive — then cast back to DOUBLE.  Scale 6 (not the
+   survey's 4) because the cast's rounding must land on a decimal the
+   expression *conceptually* has: TPC-H-ish money expressions are
+   products of up to three 2-decimal factors, i.e. ≤6 conceptual
+   decimals.  Rounding at a coarser scale hits exact ``.xxxx5`` ties
+   where Spark (HALF_UP on the double's shortest decimal repr) and
+   DuckDB (round of the raw binary value) disagree; at scale ≥ the
+   conceptual precision both engines just snap binary noise to the
+   same representable point.  (Found empirically: q1 ``sum_charge``
+   diverged at scale 4, matched at scale 6.)
+2. Float vector math is computed in DOUBLE and rounded to 6 places.
+3. Averages are decimal-sum ÷ count in double (not avg(double)).
+4. Counts/sums of ints are cast to BIGINT explicitly (DuckDB SUM(int)
+   returns HUGEINT, which would diverge on schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spark side
+
+_MONEY = "decimal(24,6)"
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-insensitive sum of a double money/quantity expression."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(_MONEY)).cast("double")
+
+
+def money_avg(col: Column | str) -> Column:
+    """Deterministic average: exact decimal sum ÷ bigint count, in double."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(_MONEY)).cast("double") / F.count(F.lit(1))
+
+
+def sim_round(col: Column, places: int = 6) -> Column:
+    """Round float math computed in double (similarity scores etc.)."""
+    return F.round(col.cast("double"), places)
+
+
+def dot_f(vec_a: Column | str, vec_b: Column | str) -> Column:
+    """Dot product of two float-array columns, accumulated in double.
+
+    Pure higher-order functions — stays JVM-side inside whole-stage
+    codegen; no Python worker round-trip (100 TB: this is the hot inner
+    loop of every similarity operator).
+    """
+    a = F.col(vec_a) if isinstance(vec_a, str) else vec_a
+    b = F.col(vec_b) if isinstance(vec_b, str) else vec_b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle (DuckDB) side — format-string twins of the helpers above.
+
+ORACLE_MONEY_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE)"
+ORACLE_MONEY_AVG = "(CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))"
+ORACLE_COUNT = "CAST(COUNT({expr}) AS BIGINT)"
+# list dot product in double with sequential accumulation, matching
+# F.aggregate's left fold over zip_with.
+ORACLE_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def o_money_sum(expr: str) -> str:
+    return ORACLE_MONEY_SUM.format(expr=expr)
+
+
+def o_money_avg(expr: str) -> str:
+    return ORACLE_MONEY_AVG.format(expr=expr)
+
+
+def o_count(expr: str = "*") -> str:
+    return ORACLE_COUNT.format(expr=expr)
+
+
+def o_dot(a: str, b: str) -> str:
+    return ORACLE_DOT.format(a=a, b=b)

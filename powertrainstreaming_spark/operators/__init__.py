@@ -1,0 +1,13 @@
+"""Operator implementations, one module per SURVEY.md §2 section.
+
+Importing this package registers every declared query in
+``plans.registry``.
+"""
+
+from powertrainstreaming_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    similarity,
+    text,
+    windows,
+)

@@ -1,0 +1,91 @@
+"""Aggregation operators (SURVEY.md §2.4) + the tumbling batch twin.
+
+Grouped aggregations are the reference's core per-key/per-window
+computation (SURVEY.md §0 envelope: keyed count/avg/min/max over
+telemetry channels).  Spark's HashAggregateExec already does
+partial (map-side) + final aggregation, so at 100 TB the shuffle
+carries one row per (partition, group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.functions.exprs import (
+    money_avg,
+    money_sum,
+    o_money_avg,
+    o_money_sum,
+)
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+
+_Q1_CUTOFF = "2001-09-01"
+
+
+@query(
+    "agg_groupby_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_money_sum('l_quantity')} AS sum_qty,
+           {o_money_sum('l_extendedprice')} AS sum_base_price,
+           {o_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {o_money_avg('l_quantity')} AS avg_qty,
+           {o_money_avg('l_extendedprice')} AS avg_price,
+           {o_money_avg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="P0",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q1 shape: multi-aggregate groupBy over lineitem."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit(_Q1_CUTOFF))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(charge).alias("sum_charge"),
+        money_avg("l_quantity").alias("avg_qty"),
+        money_avg("l_extendedprice").alias("avg_price"),
+        money_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tier="P0",
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-event_type tumbling aggregation — batch twin.
+
+    This is the batch-equivalent of the reference's windowed DStream
+    aggregation; the streaming implementation (bounded replay through
+    the §2.10 harness) must produce exactly this result.  Uses
+    date_trunc rather than window() so the output schema stays flat for
+    the oracle.
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )

@@ -1,0 +1,71 @@
+"""Query registry — the single source of truth for the t2 surface.
+
+Every operator from SURVEY.md §2 is registered here via the ``@query``
+decorator with its DuckDB oracle SQL attached; ``__spark_entry__.py``'s
+``queries()`` / ``oracle_sql()`` are thin views over this registry, so
+a query and its oracle can never go out of sync.
+
+Declaration discipline (SURVEY.md §7.1 rule of engagement): an operator
+is only registered once its local hash check passes at sf0.001 and
+sf0.01 — tests/test_correctness.py parametrizes directly over this
+registry, so anything registered is automatically under test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    tier: str  # P0 / P1 / P2 (SURVEY.md §2 tiers)
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, tier: str = "P1"):
+    """Register a (spark, sf_dir) -> DataFrame callable under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, tier=tier)
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    # Import operator modules for their registration side effects.
+    import powertrainstreaming_spark.operators  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: qd.fn for name, qd in sorted(_REGISTRY.items())}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: qd.oracle for name, qd in sorted(_REGISTRY.items()) if qd.oracle is not None
+    }
+
+
+def get_query(name: str) -> QueryDef:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def all_defs() -> dict[str, QueryDef]:
+    _ensure_loaded()
+    return dict(sorted(_REGISTRY.items()))
