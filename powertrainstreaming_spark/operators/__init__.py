@@ -6,7 +6,10 @@ Importing this package registers every declared query in
 
 from powertrainstreaming_spark.operators import (  # noqa: F401
     aggregates,
+    filters,
     joins,
+    scalar_fns,
+    scans,
     similarity,
     text,
     windows,

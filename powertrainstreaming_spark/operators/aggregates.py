@@ -62,6 +62,67 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_global",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {o_money_sum('l_extendedprice')} AS sum_price,
+           {o_money_avg('l_quantity')} AS avg_qty,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate,
+           MIN(l_discount) AS min_disc,
+           MAX(l_discount) AS max_disc
+    FROM lineitem
+    """,
+    tier="P0",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregation — partial aggregation makes this a
+    single-row shuffle regardless of input size."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum("l_extendedprice").alias("sum_price"),
+        money_avg("l_quantity").alias("avg_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P0",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expands to a two-phase
+    aggregate in Catalyst; approx_count_distinct is the scale path
+    when exactness isn't required — see agg_approx_distinct)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tier="P0",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
     "stream_tumbling_agg",
     oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -68,6 +68,83 @@ query(
 )(q3_top_unshipped)
 
 
+_Q5_START, _Q5_END = "1996-01-01", "1997-01-01"
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: 5-way join with a composite (multi-key) condition
+    — supplier must be in the customer's nation (c_nationkey =
+    s_nationkey) on top of the l_suppkey equi-key.
+
+    Join order: facts join on their keys (shuffle), dims broadcast —
+    at 100 TB only lineitem⋈orders shuffles; nation/region/supplier/
+    customer are broadcast (customer is the largest dim; Catalyst
+    falls back to shuffle for it if it outgrows the threshold).
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q5_START)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(_Q5_END)))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+query(
+    "join_multikey_composite",
+    oracle=f"""
+    SELECT n_name, {o_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{_Q5_START}'
+      AND o_orderdate <  TIMESTAMP '{_Q5_END}'
+    GROUP BY n_name
+    """,
+    tier="P0",
+)(q5_region_revenue)
+
+
+@query(
+    "join_left_right_full",
+    oracle="""
+    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    tier="P0",
+)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with filtered sides so nulls appear on both:
+    customers without big orders, big orders of low-balance customers."""
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "full"
+    ).select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+
+
 @query(
     "join_broadcast",
     oracle="""
