@@ -11,6 +11,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     scalar_fns,
     scans,
     similarity,
+    streaming,
     text,
     windows,
 )

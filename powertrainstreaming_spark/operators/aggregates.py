@@ -122,31 +122,5 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_mktsegment", "c_nationkey").distinct()
 
 
-@query(
-    "stream_tumbling_agg",
-    oracle=f"""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           {o_money_sum('value')} AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    tier="P0",
-)
-def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-hour per-event_type tumbling aggregation — batch twin.
-
-    This is the batch-equivalent of the reference's windowed DStream
-    aggregation; the streaming implementation (bounded replay through
-    the §2.10 harness) must produce exactly this result.  Uses
-    date_trunc rather than window() so the output schema stays flat for
-    the oracle.
-    """
-    events = load(spark, sf_dir, "events")
-    return events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        money_sum("value").alias("sum_value"),
-    )
+# The tumbling-window aggregation lives in operators/streaming.py as a
+# real streaming query (stream_tumbling_agg) with a batch twin.

@@ -1,0 +1,210 @@
+"""Streaming operators (SURVEY.md §2.10) — the reference's core.
+
+The reference is a DStream application: keyed telemetry → windowed /
+stateful aggregation → sink.  Here each shape is Structured Streaming
+(event-time windows + watermarks), executed through the bounded-replay
+harness so the result is batch-equivalent and oracle-checkable.
+
+Every registered stream_* query REALLY runs the streaming engine
+(MicroBatchExecution + StateStore); the *_batch twins in this module
+are the plain-DataFrame equivalents used by bench.py and the
+equivalence tests.
+
+Scale notes (100 TB stream):
+- complete output mode is used only where the bounded replay needs the
+  full answer in the memory sink; production sinks run append/update
+  with watermarked state so per-key state is bounded and evicted.
+- dedup uses dropDuplicatesWithinWatermark: state is purged once the
+  watermark passes, unlike unbounded dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+from powertrainstreaming_spark.streaming.harness import events_stream, run_bounded
+
+_TUMBLING_ORACLE = f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@query("source_stream_file", oracle="SELECT * FROM events", tier="P0")
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded passthrough replay of the events file source: proves the
+    streaming source + nanos shim deliver exactly the batch rows."""
+    return run_bounded(events_stream(spark, sf_dir), "append")
+
+
+@query("stream_tumbling_agg", oracle=_TUMBLING_ORACLE, tier="P0")
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-event_type count+sum as a real streaming query.
+
+    window(ts, '1 hour').start ≡ date_trunc('hour', ts) (epoch-aligned),
+    so the batch oracle is plain SQL.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    flat = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+    return run_bounded(flat, "complete")
+
+
+def tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_tumbling_agg (bench + equivalence tests)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "stream_sliding_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+    """,
+    tier="P1",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in 4 windows).
+
+    Oracle replicates the window assignment arithmetic: the 4 windows
+    containing ts start at bucket(15m, ts) - k·15m for k=0..3.
+    """
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    flat = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+    return run_bounded(flat, "complete")
+
+
+_SESSION_GAP_SQL = "INTERVAL '30 minutes'"
+
+_SESSION_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= {_SESSION_GAP_SQL}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + {_SESSION_GAP_SQL} AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """
+
+
+@query("stream_session_window", oracle=_SESSION_ORACLE, tier="P1")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap.
+
+    session_window merges events whose time is within the gap of the
+    running session; end = last event + gap.  The oracle is the
+    classic lag/cumsum sessionization (a new session starts when the
+    inter-event gap is ≥ the gap duration).
+    """
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    sess = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    flat = sess.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    return run_bounded(flat, "complete")
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_session_window (bench + equivalence)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") - prev_ts >= F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = marked.withColumn("session_no", F.sum("is_new").over(cum))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    ).drop("session_no")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT * FROM events",
+    tier="P1",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on event_id within the watermark.
+
+    Duplicates are synthesized by replaying the source twice and
+    unioning the streams; dropDuplicatesWithinWatermark keeps dedup
+    state only until the watermark passes — the bounded-state form of
+    streaming dedup (plain dropDuplicates grows state forever).
+    """
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    dd = a.union(b).withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return run_bounded(dd, "append")

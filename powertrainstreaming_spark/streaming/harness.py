@@ -1,0 +1,67 @@
+"""Bounded-replay streaming harness (SURVEY.md §2.10 oracle protocol).
+
+The reference is a Spark Streaming application: an unbounded keyed
+event stream driven through windowed/stateful operators.  To make
+those operators *testable against a batch oracle*, every streaming
+query here replays a bounded file source (the events fixture) with
+``Trigger.AvailableNow`` and collects a memory sink — a full replay
+emits exactly the batch answer, so tumbling/sliding/session windows
+and dedup hash-check against plain SQL.
+
+Scale note: the memory sink is the *test* sink only.  The production
+path for 100 TB streams is ``writeStream.foreachBatch`` into
+partitioned parquet (see ``stream_foreachbatch_sink``) — state stays
+bounded via watermarks, and the same transformation graph is reused
+unchanged because everything below the sink is a plain DataFrame
+lineage.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.session import ensure_session_confs
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL, table_path
+
+_MEMORY_SINK_COUNTER = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a *streaming* DataFrame (file source).
+
+    Same schema assertion and nanos→micros shim as the batch loader,
+    so streaming and batch twins see identical rows.
+    """
+    ensure_session_confs(spark)
+    # The file stream source needs a *directory*; pathGlobFilter picks
+    # out the events file from the shared fixture dir.
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_bounded(
+    transformed: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming transformation to completion, return result.
+
+    ``Trigger.AvailableNow`` processes everything currently in the
+    source then stops; the memory sink table holds the final answer.
+    """
+    name = f"pts_mem_{next(_MEMORY_SINK_COUNTER)}"
+    query = (
+        transformed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return transformed.sparkSession.table(name)
