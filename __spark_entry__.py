@@ -9,7 +9,13 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 from collections.abc import Callable
+
+# PySpark's non-Arrow collect() renders TimestampType via the driver OS
+# timezone; pin UTC at import so value hashes don't depend on host TZ.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 from pyspark.sql import DataFrame, SparkSession
 

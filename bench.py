@@ -16,6 +16,11 @@ import os
 import sys
 import time
 
+# Timestamp rendering in collect() follows the driver OS timezone; pin
+# UTC before the JVM starts so results don't depend on the host TZ.
+os.environ["TZ"] = "UTC"
+time.tzset()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from powertrainstreaming_spark.operators.streaming import (

@@ -36,7 +36,11 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
         (F.col("l_quantity") * 2.5).alias("qty_scaled"),
-        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"),
+        # F.concat (NULL-propagating) mirrors SQL '||'; concat_ws would
+        # skip NULLs and silently diverge from the oracle on null input.
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
     )
 
 

@@ -2,10 +2,12 @@
 
 The reference's join surface is keyed-stream ⋈ static-dimension
 (SURVEY.md §0 envelope); here the same shapes are declarative DataFrame
-joins so Catalyst picks broadcast vs shuffle strategies, with explicit
-``broadcast()`` hints on dimensions small enough to replicate even at
-100 TB fact scale (region/nation/customer dims grow ~linearly but stay
-orders of magnitude below lineitem).
+joins so Catalyst picks broadcast vs shuffle strategies.  Explicit
+``broadcast()`` hints go ONLY on dimensions with a bounded row count at
+any scale factor (region=5, nation=25): a hint overrides
+autoBroadcastJoinThreshold, so hinting a linearly-growing dim (supplier,
+customer) would force an OOM-sized broadcast at 100 TB.  Growing dims
+are left to Catalyst/AQE, which broadcast them while they fit.
 """
 
 from __future__ import annotations
@@ -39,9 +41,10 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        # customer is the small filtered side — broadcast it so the big
-        # fact join needs no extra shuffle for the dimension.
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer grows with scale: no explicit hint (a hint would
+        # override the size threshold); AQE broadcasts the filtered
+        # side while it fits.
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -76,10 +79,13 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     — supplier must be in the customer's nation (c_nationkey =
     s_nationkey) on top of the l_suppkey equi-key.
 
-    Join order: facts join on their keys (shuffle), dims broadcast —
-    at 100 TB only lineitem⋈orders shuffles; nation/region/supplier/
-    customer are broadcast (customer is the largest dim; Catalyst
-    falls back to shuffle for it if it outgrows the threshold).
+    Join order: facts join on their keys (shuffle); only nation/region
+    carry explicit broadcast() hints — they are genuinely bounded dims
+    (25/5 rows at any scale factor).  supplier and customer grow
+    linearly with scale, and an explicit broadcast() hint OVERRIDES
+    autoBroadcastJoinThreshold (it does not fall back by size), so at
+    100 TB a hinted supplier would OOM executors.  Catalyst + AQE pick
+    broadcast for them automatically while they fit the threshold.
     """
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -94,7 +100,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

@@ -41,7 +41,8 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_type").alias("type_lower"),
         F.length("p_name").alias("name_len"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        # concat (not concat_ws): '||' in the oracle propagates NULL.
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_token"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
         F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("type_trimmed"),
@@ -56,7 +57,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS order_month,
            CAST(day(o_orderdate) AS INT) AS order_day,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
                AS days_since_epoch_start,
            o_orderdate + INTERVAL 30 DAY AS due_date,
            CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
@@ -72,9 +73,12 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01"))).alias(
-            "days_since_epoch_start"
-        ),
+        # Both sides cast to DATE explicitly: Spark datediff truncates
+        # timestamps to dates, DuckDB date_diff on timestamps does not —
+        # identical semantics only when both operate on DATE.
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         F.unix_timestamp(F.col("o_orderdate")).alias("unix_sec"),
     )

@@ -20,12 +20,15 @@ Scale notes (100 TB stream):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
 from powertrainstreaming_spark.plans.registry import query
-from powertrainstreaming_spark.sources.loaders import load
+from powertrainstreaming_spark.session import ensure_session_confs
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL, load, table_path
 from powertrainstreaming_spark.streaming.harness import events_stream, run_bounded
 
 _TUMBLING_ORACLE = f"""
@@ -195,16 +198,32 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="P1",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on event_id within the watermark.
+    """Exact dedup on event_id within the watermark, across micro-batches.
 
-    Duplicates are synthesized by replaying the source twice and
-    unioning the streams; dropDuplicatesWithinWatermark keeps dedup
-    state only until the watermark passes — the bounded-state form of
-    streaming dedup (plain dropDuplicates grows state forever).
+    Duplicates are synthesized by staging the events file TWICE in a
+    scratch dir and replaying with maxFilesPerTrigger=1, so the second
+    full copy arrives in a later micro-batch than the first: duplicate
+    rows newer than the advanced watermark hit retained dedup state,
+    older ones are dropped as late — both paths emit each event_id
+    exactly once.  dropDuplicatesWithinWatermark keeps dedup state only
+    until the watermark passes (bounded state; plain dropDuplicates
+    grows state forever — never use it on a 100 TB stream).
     """
-    a = events_stream(spark, sf_dir)
-    b = events_stream(spark, sf_dir)
-    dd = a.union(b).withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="pts_stream_dedup_")
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, os.path.join(stage, "events_a.parquet"))
+    shutil.copy(src, os.path.join(stage, "events_b.parquet"))
+    ensure_session_confs(spark)
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    dd = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     return run_bounded(dd, "append")

@@ -27,13 +27,27 @@ _REQUIRED_SQL_CONFS = {
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
-    """Apply required runtime confs to an externally-built session."""
+    """Apply required runtime confs to an externally-built session.
+
+    Every conf here is runtime-settable in Spark 4.x; failures are
+    verified rather than swallowed, because a silently-missing
+    ``nanosAsLong`` surfaces later as a cryptic parquet read error far
+    from the cause.
+    """
+    errors: list[str] = []
     for key, value in _REQUIRED_SQL_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
-            # Non-settable in this build — leave whatever is there.
-            pass
+        except Exception as exc:  # CANNOT_MODIFY_CONFIG / unknown conf
+            errors.append(f"{key}={value}: {exc}")
+    for key, value in _REQUIRED_SQL_CONFS.items():
+        actual = spark.conf.get(key, None)
+        if actual != value:
+            raise RuntimeError(
+                f"required Spark conf {key}={value!r} did not take effect "
+                f"(got {actual!r}); set errors: {errors or 'none'}. "
+                "events.parquet reads and timestamp determinism depend on it."
+            )
     return spark
 
 

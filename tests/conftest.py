@@ -1,9 +1,18 @@
 from __future__ import annotations
 
+import os
 import sys
+import time
 from pathlib import Path
 
 import pytest
+
+# Pin the process timezone BEFORE the JVM starts: PySpark's non-Arrow
+# collect() renders TimestampType via the driver OS timezone, so hash
+# equality with DuckDB's naive timestamps requires TZ=UTC regardless of
+# the host default.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
