@@ -6,8 +6,10 @@ Importing this package registers every declared query in
 
 from powertrainstreaming_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     filters,
     joins,
+    multimodal,
     scalar_fns,
     scans,
     similarity,

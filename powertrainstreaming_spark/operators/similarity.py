@@ -57,3 +57,51 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+_PAIR_TAU = 0.3
+
+
+@query(
+    "sim_pair_join_threshold",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({o_dot('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({o_dot('a.embedding', 'b.embedding')}, 6) >= {_PAIR_TAU}
+    """,
+    tier="P1",
+)
+def sim_pair_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All within-label pairs with cosine ≥ τ — the blocked all-pairs
+    similarity join.
+
+    The join key is the BLOCK (label), never an unconditioned
+    crossJoin: each bucket's candidate set is |bucket|², so total work
+    is Σ|bucket|² instead of n².  At 100 TB the block key is an LSH
+    band or coarse cluster id and the same plan shape holds — an
+    equi-join shuffle on the block key with the sim filter applied
+    inside the joined stage, before anything is materialized.
+    τ=0.3 sits at ~p99 of the within-label sim distribution [MEASURED],
+    so the output is non-trivial but bounded.  The filter compares the
+    ROUNDED sim on both engines so boundary values cannot diverge.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = sim_round(dot_f("emb_a", "emb_b"))
+    return (
+        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= _PAIR_TAU)
+        .select("vec_a", "vec_b", "label", "sim")
+    )
