@@ -134,21 +134,34 @@ query(
 @query(
     "join_left_right_full",
     oracle="""
-    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
-    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
-    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
-      ON c.c_custkey = o.o_custkey
+    WITH c AS (SELECT * FROM customer WHERE c_acctbal > 5000),
+         o AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+    SELECT 'L' AS side, c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'R' AS side, c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM c RIGHT JOIN o ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'F' AS side, c_custkey, c_acctbal, o_orderkey, o_totalprice
+    FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
     """,
     tier="P0",
 )
 def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join with filtered sides so nulls appear on both:
-    customers without big orders, big orders of low-balance customers."""
+    """Left, right, and full outer joins over the same filtered sides,
+    tagged and unioned so all three null-extension behaviors are in one
+    checked result: customers without big orders (left/full), big
+    orders of low-balance customers (right/full).
+    """
     customer = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "full"
-    ).select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
+    cond = customer.c_custkey == orders.o_custkey
+    cols = ["c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"]
+    parts = [
+        customer.join(orders, cond, how).select(F.lit(tag).alias("side"), *cols)
+        for tag, how in (("L", "left"), ("R", "right"), ("F", "full"))
+    ]
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
 
 
 @query(
@@ -166,3 +179,127 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), nation.n_regionkey == region.r_regionkey
     ).select("n_nationkey", "n_name", "r_name")
+
+
+_SEMI_MIN_PRICE = 300000
+_ANTI_MIN_PRICE = 400000
+
+
+@query(
+    "join_semi",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {_SEMI_MIN_PRICE})
+    """,
+    tier="P1",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one order over the threshold (EXISTS).
+
+    left_semi keeps only left columns and emits each left row at most
+    once — Catalyst never materializes the matched right rows, so the
+    shuffle carries the filtered orders keys only.
+    """
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _SEMI_MIN_PRICE
+    )
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > {_ANTI_MIN_PRICE})
+    """,
+    tier="P1",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO order over the threshold (NOT EXISTS) — the
+    left_anti complement of join_semi; semi ∪ anti partitions customer
+    (property-checked in tests).
+    """
+    customer = load(spark, sf_dir, "customer")
+    jumbo_orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _ANTI_MIN_PRICE
+    )
+    return customer.join(
+        jumbo_orders, customer.c_custkey == jumbo_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_regionkey, r_name, n_nationkey, n_name
+    FROM region CROSS JOIN nation
+    """,
+    tier="P1",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product of the two bounded dims (5 × 25).
+
+    crossJoin is only ever safe when at least one side is tiny and
+    bounded; every unbounded pairing in this engine goes through a
+    blocked equi-join instead (see sim_pair_join_threshold).
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return region.select("r_regionkey", "r_name").crossJoin(F.broadcast(nation))
+
+
+_BANDS = [
+    ("small", 0.0, 100000.0),
+    ("medium", 100000.0, 250000.0),
+    ("large", 250000.0, 400000.0),
+    ("jumbo", 400000.0, 1e18),
+]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_money_sum('o_totalprice')} AS total_price
+    FROM orders
+    JOIN (SELECT * FROM (VALUES {_BANDS_SQL}) t(band, lo, hi)) bands
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    tier="P1",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: orders against a literal price-band
+    dimension with a [lo, hi) containment condition.
+
+    A pure non-equi condition has no hash key, so Catalyst picks
+    BroadcastNestedLoopJoin — safe ONLY because the band dim is a
+    bounded literal (4 rows broadcast everywhere); each order row scans
+    4 bands.  At 100 TB the same plan holds: fact-side map-only work,
+    no shuffle until the final 4-group aggregation.
+    """
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+    )

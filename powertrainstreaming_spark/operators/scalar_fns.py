@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.functions.exprs import dot_f, o_dot, sim_round
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -116,4 +117,123 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("l_discount")), 6).alias("disc_exp"),
         F.round(F.pow(F.col("l_quantity"), 2), 6).alias("qty_sq"),
         F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+    tier="P1",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from events.props (JSON-in-VARCHAR):
+    extract $.k, cast to INT, aggregate per event_type — the day-one
+    telemetry query shape (SURVEY.md:262).
+
+    get_json_object is a JVM-side path expression (Jackson inside
+    codegen) — no Python, and at 100 TB the extraction cost is a flat
+    per-row scan expense with the aggregation still partial+final.
+    """
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("bigint").alias("n_large"),
+        )
+    )
+
+
+@query(
+    "fn_array",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round({o_dot('embedding', 'embedding')}, 6) AS norm_sq,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_val,
+           round(list_sum(list_transform(list_slice(embedding, 1, 8),
+                                         x -> CAST(x AS DOUBLE))), 6) AS head_sum
+    FROM embeddings
+    """,
+    tier="P1",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: size,
+    element access, filter, transform+aggregate, sort, slice — all
+    JVM-side lambda expressions inside whole-stage codegen (the explode
+    path is exercised by text_tokenize_tf).
+
+    Float elements are cast to DOUBLE before arithmetic and rounded to
+    6 places (determinism contract §5.3 rule 2).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        sim_round(F.element_at(e, 1)).alias("first_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        sim_round(dot_f(e, e)).alias("norm_sq"),
+        sim_round(F.element_at(F.sort_array(e), 1)).alias("min_val"),
+        sim_round(
+            F.aggregate(F.slice(e, 1, 8), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        ).alias("head_sum"),
+    )
+
+
+@query(
+    "fn_map_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(struct_pack(key := o_orderkey, price := o_totalprice),
+                          'price') AS struct_price,
+           map_extract(map(['status', 'priority'],
+                           [o_orderstatus, o_orderpriority]), 'status')[1]
+               AS map_status,
+           map_extract(map(['status', 'priority'],
+                           [o_orderstatus, o_orderpriority]), 'priority')[1]
+               AS map_priority
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    tier="P2",
+)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build map/struct values from columns and extract scalars back.
+
+    The comparison surface is scalar columns only — nested values are
+    built and immediately field-extracted, because the two engines
+    render nested types differently in their fetch paths.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    s = F.struct(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price"))
+    return orders.select(
+        "o_orderkey",
+        s.getField("price").alias("struct_price"),
+        m.getItem("status").alias("map_status"),
+        m.getItem("priority").alias("map_priority"),
     )

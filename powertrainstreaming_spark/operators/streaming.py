@@ -193,6 +193,36 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_stream_static",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, c_mktsegment, c_nationkey
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    """,
+    tier="P1",
+)
+def join_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events ⋈ static customer dimension — the reference's
+    core enrichment shape (telemetry stream ⋈ vehicle metadata,
+    SURVEY.md:110,209).
+
+    A stream-static inner join is STATELESS: each micro-batch hash-joins
+    against the batch side, no streaming state store involved, so append
+    mode emits enriched rows immediately.  At 100 TB the batch dim is
+    broadcast when it fits, else the micro-batch shuffles on the key —
+    identical plan mechanics to the batch twin.
+    """
+    s = events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    enriched = s.join(dim, s.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    return run_bounded(enriched, "append")
+
+
+@query(
     "stream_dedup",
     oracle="SELECT * FROM events",
     tier="P1",

@@ -1,0 +1,65 @@
+"""Cross-operator property checks (SURVEY.md §5.4 layer 3).
+
+These verify algebraic invariants BETWEEN operators — the kind of bug a
+per-query oracle can't catch (e.g. semi and anti both subtly wrong in
+complementary ways would still each hash-match a subtly wrong oracle,
+but cannot both partition the input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.functions.exprs import dot_f, sim_round
+from powertrainstreaming_spark.operators.joins import (
+    _ANTI_MIN_PRICE,
+    _SEMI_MIN_PRICE,
+    join_anti,
+    join_semi,
+)
+from powertrainstreaming_spark.operators.dedup import dedup_exact
+from powertrainstreaming_spark.sources.loaders import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_semi_anti_partition_customer(spark):
+    """semi(θ) ∪ anti(θ) = customer, disjoint, for the same threshold."""
+    customer = load(spark, SF, "customer")
+    orders = load(spark, SF, "orders").filter(F.col("o_totalprice") > _SEMI_MIN_PRICE)
+    semi = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+    anti = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    n_semi, n_anti, n_all = semi.count(), anti.count(), customer.count()
+    assert n_semi + n_anti == n_all
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_registered_semi_anti_use_different_thresholds(spark):
+    """The registered queries use distinct thresholds by design; both
+    must still be subsets of customer."""
+    n_cust = load(spark, SF, "customer").count()
+    assert join_semi(spark, SF).count() <= n_cust
+    assert join_anti(spark, SF).count() <= n_cust
+    assert _SEMI_MIN_PRICE != _ANTI_MIN_PRICE
+
+
+def test_dedup_exact_idempotent(spark):
+    """Dedup of the dedup output changes nothing."""
+    once = dedup_exact(spark, SF)
+    again = (
+        once.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert again.count() == 0
+    # Every text from the input survives exactly once.
+    assert once.count() == load(spark, SF, "documents").select("text").distinct().count()
+
+
+def test_knn_self_similarity_is_one(spark):
+    """Unit-norm vectors: dot(v, v) rounds to 1.0 for every vector."""
+    emb = load(spark, SF, "embeddings")
+    bad = emb.select(
+        sim_round(dot_f("embedding", "embedding")).alias("self_sim")
+    ).filter(F.abs(F.col("self_sim") - 1.0) > 1e-4)
+    assert bad.count() == 0
