@@ -12,6 +12,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     multimodal,
     scalar_fns,
     scans,
+    setops,
     similarity,
     streaming,
     text,

@@ -124,3 +124,157 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The tumbling-window aggregation lives in operators/streaming.py as a
 # real streaming query (stream_tumbling_agg) with a batch twin.
+
+
+@query(
+    "agg_filter_clause",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           {o_money_sum('value')} AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) AS purchase_value,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) FILTER (WHERE event_type = 'error')
+                AS DOUBLE) AS error_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P1",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause) — per-user totals
+    split by event type in ONE pass over the input.
+
+    Spark expresses FILTER as sum(when(cond, x)): identical semantics
+    (rows failing the condition contribute NULL, an all-NULL group sums
+    to NULL), still a single partial+final hash aggregate — at 100 TB
+    this beats N separate filtered scans N:1 on input bandwidth.
+    """
+    events = load(spark, sf_dir, "events")
+    dec_val = F.col("value").cast("decimal(24,6)")
+    is_purchase = F.col("event_type") == "purchase"
+    is_error = F.col("event_type") == "error"
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        money_sum("value").alias("sum_value"),
+        F.sum(F.when(is_purchase, dec_val)).cast("double").alias("purchase_value"),
+        F.sum(F.when(is_error, dec_val)).cast("double").alias("error_value"),
+    )
+
+
+_ROLLUP_AGGS_SQL = f"""
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_money_sum('o_totalprice')} AS total_price"""
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,{_ROLLUP_AGGS_SQL}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tier="P1",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): per-pair, per-status subtotal, and
+    grand total in one aggregation.  The group columns contain no NULLs
+    in the fixtures, so NULL unambiguously marks subtotal rows.
+
+    Catalyst expands rollup into a single Expand + hash aggregate —
+    one shuffle carrying (n_grouping_sets × groups) rows, not one job
+    per level.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tier="P1",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2² grouping combinations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,{_ROLLUP_AGGS_SQL}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tier="P1",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the markers
+    (not NULL-sniffing) are the correct way to tell a subtotal row from
+    a genuine NULL group at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           list_sort(array_agg(o_orderkey)) AS order_keys
+    FROM orders
+    WHERE o_totalprice > 350000
+    GROUP BY o_custkey
+    """,
+    tier="P2",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer sorted list of big-order keys.  collect_list order
+    is nondeterministic under parallelism — array_sort makes the value
+    canonical (determinism contract §5.3 rule 4).  Both engines render
+    BIGINT lists identically in their fetch paths."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tier="P2")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type (rows-only
+    check: the sketch differs from DuckDB's).  This is the 100 TB
+    distinct-count path — constant memory per group vs the exact
+    two-phase expansion of countDistinct."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -135,3 +135,161 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+_DEC = "decimal(24,6)"
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    tier="P1",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order (orderkey
+    tiebreak).  The frame sum accumulates in DECIMAL so the result is
+    independent of how either engine associates the additions."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS moving_avg7
+    FROM orders
+    WINDOW w AS (ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tier="P1",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of order totals: exact decimal frame sum ÷
+    frame count, rounded.
+
+    Scale note: this window is UNPARTITIONED — a deliberate single-sort
+    demonstration shape.  At 100 TB you partition by a time bucket (see
+    win_running_sum) or pre-aggregate per day first; the frame
+    arithmetic is identical either way.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-6, Window.currentRow)
+    frame_sum = F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.round(frame_sum / frame_n, 6).alias("moving_avg7"),
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(rank() OVER w AS INT) AS bal_rank,
+           CAST(dense_rank() OVER w AS INT) AS bal_dense_rank
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+    """,
+    tier="P1",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of suppliers by account balance per nation.
+    Ties share a rank (that IS deterministic); no row_number here, so
+    no tiebreak column is needed."""
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "win_first_last_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tier="P2",
+)
+def win_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / ntile per customer.  last_value uses
+    an explicit unbounded-following frame — the default frame ends at
+    CURRENT ROW, which silently returns the current row instead of the
+    partition max (classic window gotcha in both engines)."""
+    orders = load(spark, sf_dir, "orders")
+    order_spec = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order_spec)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+@query(
+    "win_percent_cume",
+    oracle="""
+    SELECT n_nationkey, c_custkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist() OVER w, 6) AS bal_cume_dist
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tier="P2",
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of customers by balance within nation,
+    rounded to 6 places (double division — both engines compute
+    (rank-1)/(n-1) and rank/n, but the division result needs the float
+    contract)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    w = Window.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    return joined.select(
+        "n_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )

@@ -56,6 +56,21 @@ def test_dedup_exact_idempotent(spark):
     assert once.count() == load(spark, SF, "documents").select("text").distinct().count()
 
 
+def test_union_all_count_additivity(spark):
+    """|A ∪all B| = |A| + |B| (bag); inclusion-exclusion holds on the
+    DISTINCT projections (the halves are bags: lineitem's
+    (orderkey, linenumber) pairs repeat in the synthetic fixture)."""
+    from powertrainstreaming_spark.operators.setops import _halves
+
+    a, b = _halves(spark, SF)
+    assert a.unionAll(b).count() == a.count() + b.count()
+    da, db = a.distinct(), b.distinct()
+    assert (
+        a.union(b).distinct().count()
+        == da.count() + db.count() - da.intersect(db).count()
+    )
+
+
 def test_knn_self_similarity_is_one(spark):
     """Unit-norm vectors: dot(v, v) rounds to 1.0 for every vector."""
     emb = load(spark, SF, "embeddings")
