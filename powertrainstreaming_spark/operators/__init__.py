@@ -14,7 +14,9 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     scans,
     setops,
     similarity,
+    sinks,
     streaming,
     text,
+    udfs,
     windows,
 )

@@ -239,21 +239,190 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the watermark passes (bounded state; plain dropDuplicates
     grows state forever — never use it on a 100 TB stream).
     """
-    import shutil
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="pts_stream_dedup_")
-    src = table_path(sf_dir, "events")
-    shutil.copy(src, os.path.join(stage, "events_a.parquet"))
-    shutil.copy(src, os.path.join(stage, "events_b.parquet"))
-    ensure_session_confs(spark)
-    sdf = (
-        spark.readStream.schema(TABLE_DDL["events"])
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stage = _stage_events_twice(sf_dir)
+    sdf = _staged_stream(spark, stage)
     dd = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     return run_bounded(dd, "append")
+
+
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events, mx
+    GROUP BY 1, 2, mx.m
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 10 MINUTES
+    """,
+    tier="P1",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation in APPEND mode — the production
+    streaming plan (complete mode retains every window forever; this
+    retains only windows newer than the watermark).
+
+    Append emits a window exactly when the watermark passes its end, so
+    on a bounded replay the emitted set is every window whose end ≤
+    max(ts) - delay — windows still open at end-of-stream are withheld,
+    and the oracle encodes precisely that [empirically validated:
+    867/868 windows at sf0.001].  Late rows (older than the watermark)
+    would be dropped before the aggregation — the semantic heart of
+    late-data handling.
+    """
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    flat = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+    return run_bounded(flat, "append")
+
+
+@query(
+    "stream_output_modes",
+    oracle=_TUMBLING_ORACLE,
+    tier="P2",
+)
+def stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode on the tumbling aggregation: the sink receives
+    one row per window per micro-batch in which the window changed; the
+    final value of each window is the row with the highest (monotonic)
+    count.  The post-sink max_by collapse is batch logic on the sink
+    table — exactly what an idempotent upsert sink (foreachBatch MERGE)
+    does with update-mode output at scale.  complete mode is exercised
+    by stream_tumbling_agg, append by stream_watermark_late; update is
+    the remaining mode.
+    """
+    stage = _stage_events_split(sf_dir)
+    s = _staged_stream(spark, stage)
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    flat = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+    sink = run_bounded(flat, "update")
+    return sink.groupBy("window_start", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_value", "n_events").alias("sum_value"),
+    )
+
+
+def _stage_events_twice(sf_dir: str) -> str:
+    """Stage two identical copies of the events file in a scratch dir
+    (duplicate injection for multi-batch dedup tests)."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="pts_stage2_")
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, os.path.join(stage, "events_a.parquet"))
+    shutil.copy(src, os.path.join(stage, "events_b.parquet"))
+    return stage
+
+
+def _stage_events_split(sf_dir: str) -> str:
+    """Stage the events file as two disjoint halves (no duplication) so
+    a maxFilesPerTrigger=1 replay produces two micro-batches over the
+    SAME total data — windows spanning the split are updated twice."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="pts_split_")
+    table = pq.read_table(table_path(sf_dir, "events"))
+    half = table.num_rows // 2
+    pq.write_table(table.slice(0, half), os.path.join(stage, "events_a.parquet"))
+    pq.write_table(table.slice(half), os.path.join(stage, "events_b.parquet"))
+    return stage
+
+
+def _staged_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """Streaming DF over a staged scratch dir, one file per micro-batch,
+    with the same schema assertion + nanos shim as events_stream."""
+    ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(TABLE_DDL["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+@query(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state (the reference's updateStateByKey analog,
+    SURVEY.md:292): running per-user count/min/max held in a
+    user-defined state tuple, updated per micro-batch via
+    applyInPandasWithState and re-emitted on every change.
+
+    The split two-file source forces TWO micro-batches, so state
+    genuinely persists and updates across batches.  The sink collapse
+    (max of monotone running values per user) is what an upsert sink
+    does with update-mode emissions; the final state equals the batch
+    groupBy, which is the oracle.
+
+    Statistics are count/min/max on purpose — order-insensitive, so the
+    result is deterministic under any batch split (a float running SUM
+    would not be).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        if state.exists:
+            n, mn, mx = state.get
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            bmn = float(pdf["value"].min())
+            bmx = float(pdf["value"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    stage = _stage_events_split(sf_dir)
+    s = _staged_stream(spark, stage).select("user_id", "value")
+    running = s.groupBy("user_id").applyInPandasWithState(
+        _update,
+        "user_id BIGINT, n_events BIGINT, min_value DOUBLE, max_value DOUBLE",
+        "n BIGINT, mn DOUBLE, mx DOUBLE",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    sink = run_bounded(running, "update")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
