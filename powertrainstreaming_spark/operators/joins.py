@@ -12,7 +12,7 @@ are left to Catalyst/AQE, which broadcast them while they fit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
@@ -302,4 +302,65 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             money_sum("o_totalprice").alias("total_price"),
         )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_click_id, last_click_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS)
+                   OVER w AS last_click_id,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS)
+                   OVER w AS last_click_ts
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+    tier="P2",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the user's
+    latest STRICTLY-PRIOR click (merge_asof semantics).
+
+    Implemented as the scalable union+window pattern — both sides in
+    one stream ordered by (ts, event_id), last-non-null carry-forward
+    over a ROWS frame ending at 1 PRECEDING — instead of a per-row
+    range join: ONE shuffle on the key, linear scan per partition,
+    no O(n·m) candidate pairs.  The ROWS frame with a unique tiebreak
+    makes tie handling deterministic in both engines (a RANGE frame
+    would include same-timestamp peers and diverge).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_id",
+        "last_click_ts",
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import query
-from powertrainstreaming_spark.sources.loaders import TABLES, load
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL, TABLES, load
 
 
 @query(
@@ -59,3 +59,63 @@ def scan_schema_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(DataFrame.unionAll, counts)
+
+
+@query(
+    "scan_csv_json",
+    oracle="""
+    SELECT 'csv' AS fmt, p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    UNION ALL
+    SELECT 'json' AS fmt, p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    """,
+    tier="P2",
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON ingest with explicit schemas, round-tripped: export
+    the part table to both formats in a scratch dir, read each back
+    with the DECLARED schema (never inferSchema — inference samples the
+    data and can drift between runs), verify both against the source.
+
+    Java's shortest-round-trip double formatting makes the
+    p_retailprice text round trip exact in both formats.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pts_scan_csv_json_")
+    part = load(spark, sf_dir, "part")
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    part.select(cols).write.mode("overwrite").option("header", True).csv(f"{out}/csv")
+    part.select(cols).write.mode("overwrite").json(f"{out}/json")
+    ddl = TABLE_DDL["part"]
+    csv_df = spark.read.schema(ddl).option("header", True).csv(f"{out}/csv")
+    json_df = spark.read.schema(ddl).json(f"{out}/json")
+    return csv_df.select(F.lit("csv").alias("fmt"), *cols).unionAll(
+        json_df.select(F.lit("json").alias("fmt"), *cols)
+    )
+
+
+@query(
+    "source_kafka_adapter",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def source_kafka_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-source adapter interface (reference's Kafka direct
+    stream, SURVEY.md:182): production wires KafkaSourceAdapter, this
+    offline check wires FileReplayAdapter through the SAME interface
+    and registry, proving downstream plans are adapter-agnostic.
+    KafkaSourceAdapter's offline failure mode is covered in
+    tests/test_adapters.py."""
+    from powertrainstreaming_spark.sources.stream_adapters import get_adapter
+    from powertrainstreaming_spark.streaming.harness import run_bounded
+
+    adapter = get_adapter("file", sf_dir=sf_dir)
+    s = adapter.stream(spark)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_bounded(agg, "complete")

@@ -13,7 +13,7 @@ shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.functions.exprs import dot_f, o_dot, sim_round
@@ -104,4 +104,59 @@ def sim_pair_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", sim)
         .filter(F.col("sim") >= _PAIR_TAU)
         .select("vec_a", "vec_b", "label", "sim")
+    )
+
+
+_TOPK_K = 5
+
+
+@query(
+    "sim_topk_per_query",
+    oracle=f"""
+    SELECT vec_id, neighbor_id, label, sim
+    FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id, a.label,
+               round({o_dot('a.embedding', 'b.embedding')}, 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({o_dot('a.embedding', 'b.embedding')}, 6) DESC,
+                            b.vec_id
+               ) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+    )
+    WHERE rn <= {_TOPK_K}
+    """,
+    tier="P2",
+)
+def sim_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k={k}) for EVERY vector, blocked by label: within-block
+    pairs → window top-k per query vector.
+
+    Same blocking discipline as sim_pair_join_threshold — the pair
+    space is Σ|label bucket|², never n².  The window shuffles once on
+    vec_id after the blocked join; at 100 TB the block key becomes an
+    IVF/LSH cell and this exact plan is the batch ANN sweep.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", F.col("embedding").alias("emb_a"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(
+        b,
+        (a.label == b.label_b) & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        "label",
+        sim_round(dot_f("emb_a", "emb_b")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK_K)
+        .select("vec_id", "neighbor_id", "label", "sim")
     )

@@ -426,3 +426,61 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@query(
+    "join_interval_stream",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts
+    """,
+    tier="P2",
+)
+def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ clicks by the same user
+    within the preceding 30 minutes.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — that is what lets the state store EVICT
+    buffered rows (a stream-stream join without a time-bounded
+    condition retains both streams forever).  State per side is
+    bounded by watermark delay + interval width at any scale.
+    """
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    c = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    return run_bounded(joined, "append")

@@ -8,7 +8,7 @@ partial counts only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import query
@@ -101,4 +101,196 @@ def text_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         text_len.alias("text_len"),
         (text_len == F.col("n_chars")).alias("len_matches"),
+    )
+
+
+@query(
+    "text_ngram",
+    oracle="""
+    SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT lang,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY lang, bigram
+    """,
+    tier="P2",
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per lang.  Bigrams are built by zipping the token
+    array with its own tail (zip_with over two slices) — pure JVM
+    higher-order functions, no explode until the bigram level.
+    sequence() is deliberately avoided: Spark's sequence(1, 0) counts
+    DOWN, silently fabricating bigrams for 1-token docs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TFIDF_K = 5
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+    tf AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY source, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    scored AS (
+        SELECT tf.source, tf.token, tf.tf,
+               round(tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n_docs
+    )
+    SELECT source, token, tf, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= {_TFIDF_K}
+    """,
+    tier="P2",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} tf-idf terms per source: two-level aggregation (term
+    frequency per source, document frequency per term) joined and
+    scored, window top-k with token tiebreak.
+
+    The df side is tiny (vocabulary) — Catalyst broadcasts it into the
+    tf join; at 100 TB the vocabulary still fits in a broadcast, which
+    is exactly why tf-idf scales as two aggregations + a map-side join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar: vocabulary-level constant, not data
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "source",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("source", "token", "tf", "tfidf")
+    )
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT)
+               AS n_word_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOP_SQL}))) AS INT) AS n_stopwords,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) > 0.05
+                THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+    tier="P1",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics for training-data filtering:
+    whitespace token count, word-regex token count (the BPE-ish
+    pre-tokenizer shape), stopword count/ratio, punctuation ratio, and
+    a stopword-ratio language guess (n-gram-free lang-ID heuristic).
+
+    Everything is a JVM expression (split / regexp_extract_all /
+    higher-order filter) — a quality pass over 100 TB is a map-only
+    scan with no shuffle at all.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9_]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9_ ]"), 0)).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.when(stop_ratio > 0.05, "en_like").otherwise("other").alias("lang_guess"),
+    )
+
+
+@query("text_fingerprint", oracle=None, tier="P2")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash document fingerprint from distinct-token hashes
+    (rows-only check: hash functions are engine-specific, so no
+    cross-engine oracle; determinism and collision properties are
+    covered by tests/test_properties.py).
+
+    Plan: distinct (doc, token) → xxhash64 → explode 63 bit positions →
+    per-(doc, bit) signed vote → fingerprint = Σ 2^i over positive
+    bits.  All JVM-side; the shuffle carries (doc, bit) partial sums.
+    At 100 TB the 63× bit fan-out happens AFTER token dedup and before
+    the only shuffle, and near-dup search over fingerprints is a
+    Hamming-ball band join (split the 63 bits into bands, exact-match
+    bands as the block key) — same blocked-join scaling as MinHash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"),
+    )
+    votes = bits.select(
+        "doc_id",
+        "bit",
+        # shiftright()/shiftleft() Column API takes a literal shift
+        # only; a column-valued shift needs the SQL expression form.
+        F.expr("CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
     )

@@ -1,0 +1,90 @@
+"""Pluggable stream-source adapters (SURVEY.md §2.1 `source_kafka_adapter`).
+
+The reference's native source is a Kafka direct stream [RECON,
+SURVEY.md:182]; this container has no Kafka broker and no
+spark-sql-kafka connector jar, so the adapter layer makes the source a
+swappable interface: production wires `KafkaSourceAdapter`, tests and
+the bounded-replay harness wire `FileReplayAdapter` — everything
+downstream of `.stream()` is identical DataFrame lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+
+class StreamSourceAdapter(Protocol):
+    """A source of the typed telemetry stream."""
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Return an unbounded (streaming) DataFrame of typed events."""
+        ...
+
+
+@dataclass(frozen=True)
+class FileReplayAdapter:
+    """Bounded file-source replay of the events fixture — the offline /
+    test implementation of the adapter interface."""
+
+    sf_dir: str
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        from powertrainstreaming_spark.streaming.harness import events_stream
+
+        return events_stream(spark, self.sf_dir)
+
+
+@dataclass(frozen=True)
+class KafkaSourceAdapter:
+    """Kafka direct-stream source (the reference's native shape).
+
+    Requires the spark-sql-kafka connector on the classpath and a
+    reachable broker — neither exists in this container, so `stream()`
+    raises a clear error instead of a cryptic DATA_SOURCE_NOT_FOUND
+    deep inside a query.  The value payload is JSON with the events
+    schema; parsing is from_json into the same typed columns the file
+    adapter produces, so downstream plans are adapter-agnostic.
+    """
+
+    bootstrap_servers: str
+    topic: str
+    starting_offsets: str = "earliest"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        try:
+            reader = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", self.bootstrap_servers)
+                .option("subscribe", self.topic)
+                .option("startingOffsets", self.starting_offsets)
+            )
+            for k, v in self.options.items():
+                reader = reader.option(k, v)
+            raw = reader.load()
+        except Exception as exc:  # connector jar absent in this env
+            raise RuntimeError(
+                "Kafka source unavailable: the spark-sql-kafka connector "
+                "is not on the classpath (offline container). Use "
+                "FileReplayAdapter for bounded replay, or submit with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13."
+            ) from exc
+        parsed = raw.select(
+            F.from_json(F.col("value").cast("string"), TABLE_DDL["events"]).alias("e")
+        ).select("e.*")
+        return parsed.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def get_adapter(kind: str, **kwargs) -> StreamSourceAdapter:
+    """Adapter registry: 'file' (offline replay) or 'kafka'."""
+    if kind == "file":
+        return FileReplayAdapter(**kwargs)
+    if kind == "kafka":
+        return KafkaSourceAdapter(**kwargs)
+    raise KeyError(f"unknown stream adapter {kind!r}; know ['file', 'kafka']")

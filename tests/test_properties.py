@@ -78,3 +78,32 @@ def test_knn_self_similarity_is_one(spark):
         sim_round(dot_f("embedding", "embedding")).alias("self_sim")
     ).filter(F.abs(F.col("self_sim") - 1.0) > 1e-4)
     assert bad.count() == 0
+
+
+def test_minhash_pairs_subset_of_exact_with_high_recall(spark):
+    """Every MinHash pair is a true ≥τ pair (precision 1.0 by
+    construction — candidates are exact-verified), and banding recall
+    vs the exhaustive twin is high (P(candidate | j≥0.95) ≈ 0.99 for
+    r=8, b=4)."""
+    from powertrainstreaming_spark.operators.dedup import (
+        dedup_near_exact,
+        dedup_near_minhash,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.doc_a, r.doc_b) for r in dedup_near_exact(spark, sf).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in dedup_near_minhash(spark, sf).collect()}
+    assert approx <= exact
+    assert len(exact) > 0
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_simhash_deterministic_and_text_keyed(spark):
+    """Fingerprints are a pure function of text: recomputing yields
+    identical values (stable across jobs/partitionings)."""
+    from powertrainstreaming_spark.operators.text import text_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r.doc_id, r.simhash) for r in text_fingerprint(spark, sf).collect()}
+    b = {(r.doc_id, r.simhash) for r in text_fingerprint(spark, sf).collect()}
+    assert a == b and len(a) == 500
