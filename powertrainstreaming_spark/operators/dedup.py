@@ -15,7 +15,7 @@ min_by), not whatever row dropDuplicates happens to keep.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import query
@@ -126,40 +126,65 @@ def _pair_jaccard(toks: DataFrame, pairs: DataFrame) -> DataFrame:
 @query("dedup_near_exact", oracle=_JACCARD_ORACLE, tier="P2")
 def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ≥ τ near-duplicate pairs on token sets — the
-    ground truth for the MinHash twin.
+    ground truth for the MinHash twin.  τ=0.95 sits at ~p99 of the
+    pair distribution [MEASURED].
 
-    The candidate generator is an INVERTED-INDEX join (pairs sharing at
-    least one token), so only co-occurring documents ever pair up; the
-    intersection count falls out of the same join.  τ=0.95 sits at
-    ~p99 of the pair distribution [MEASURED] (this synthetic corpus
-    shares a tiny vocabulary, so the distribution is far right-shifted
-    vs natural text).
+    Candidate generation uses PREFIX FILTERING (the PPJoin family):
+    order the vocabulary by ascending document frequency; a pair with
+    J ≥ τ MUST share a token within the first ⌊(1-τ)·n⌋+1 tokens of
+    each side's df-sorted token list (pigeonhole: skipping that prefix
+    discards > (1-τ)·n tokens, more than a ≥ τ overlap can afford to
+    miss).  So only PREFIX tokens — the rarest per document — enter
+    the inverted-index join, and a size-ratio filter (τ·max ≤ min)
+    prunes length-incompatible pairs before verification.  Both
+    filters are exact: no false negatives, identical result to the
+    naive all-sharing-pairs join the oracle computes.
 
-    100 TB note: the inverted-index join explodes on stop-token
-    postings; the production variant prunes high-df tokens first
-    (prefix filtering) or goes straight to dedup_near_minhash, whose
-    banding bounds candidates regardless of token frequency.
+    This is the 100 TB shape: a naive token join explodes on
+    stop-token postings (every document shares 'the' with every
+    other); the prefix join's posting lists are the df-ordered TAIL of
+    the vocabulary, which stays short regardless of corpus size.
     """
     toks = _doc_tokens(spark, sf_dir)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b"))
-    inter = (
-        ta.join(tb, (F.col("token") == F.col("token_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
     sizes = _token_set_sizes(toks)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.round(
-        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+    # Global rarity order: document frequency per token (tiny: one row
+    # per vocabulary word — broadcast everywhere).
+    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(F.broadcast(df_), "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
     )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _JAC_TAU)
+    prefix_len = F.floor((1.0 - _JAC_TAU) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "token", "n"
     )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("n").alias("na")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("token").alias("token_b"),
+        F.col("n").alias("nb"),
+    )
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size-ratio filter: J >= tau forces tau*max(na,nb) <= min.
+            & (F.col("na") >= _JAC_TAU * F.col("nb"))
+            & (F.col("nb") >= _JAC_TAU * F.col("na")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(toks, candidates).filter(F.col("jaccard") >= _JAC_TAU)
 
 
 _MINHASH_K = 32  # signature length
