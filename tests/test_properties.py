@@ -98,6 +98,23 @@ def test_minhash_pairs_subset_of_exact_with_high_recall(spark):
     assert len(approx) >= 0.9 * len(exact)
 
 
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    """IVF search returns true top-k WITHIN its searched buckets, and
+    its overlap with the exhaustive top-10 is the bucket-pruning
+    recall — must be substantial even on isotropic random vectors
+    (probe's own cell plus Hamming-1 neighbors cover 5/16 of the
+    space ⇒ expected recall ≳ 0.3; assert a conservative floor)."""
+    from powertrainstreaming_spark.operators.similarity import (
+        knn_bruteforce,
+        sim_knn_ivf,
+    )
+
+    exact = {r.vec_id for r in knn_bruteforce(spark, SF).collect()}
+    approx = {r.vec_id for r in sim_knn_ivf(spark, SF).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 2
+
+
 def test_simhash_deterministic_and_text_keyed(spark):
     """Fingerprints are a pure function of text: recomputing yields
     identical values (stable across jobs/partitionings)."""
