@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.functions.exprs import o_dot
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -240,3 +241,59 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _pair_jaccard(toks, candidates).filter(F.col("jaccard") >= _JAC_TAU)
+
+
+_EMB_TAU = 0.3  # ~p99 of the within-label cosine distribution [MEASURED]
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({o_dot('a.embedding', 'b.embedding')}, 6) >= {_EMB_TAU}
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.drop_id = e.vec_id)
+    """,
+    tier="P2",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL: drop every vector that
+    is ≥ τ similar to a lower-id vector (greedy min-id-wins), keep the
+    rest.
+
+    Built from the blocked pair join (label-blocked, same discipline as
+    sim_pair_join_threshold) followed by a left-anti join of the corpus
+    against the drop set — the standard two-stage shape of semantic
+    dedup at scale: pair generation is bucket-bounded, and the removal
+    pass is a hash anti-join keyed on id.  Greedy-by-id is the
+    deterministic policy (true clustering dedup — connected components
+    — keeps fewer docs but needs an iterative algorithm; the greedy
+    pass is what production pipelines run first).
+    """
+    from powertrainstreaming_spark.functions.exprs import dot_f, sim_round
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("label"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    drops = (
+        a.join(b, (a.label == b.label_b) & (F.col("keep_id") < F.col("drop_id")))
+        .filter(sim_round(dot_f("emb_a", "emb_b")) >= _EMB_TAU)
+        .select("drop_id")
+        .distinct()
+    )
+    return emb.join(
+        drops, emb.vec_id == drops.drop_id, "left_anti"
+    ).select("vec_id", "label")
