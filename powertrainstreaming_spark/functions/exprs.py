@@ -6,7 +6,7 @@ oracle SQL string uses the matching SQL shapes (the ``ORACLE_*``
 templates below), so the two dialects can never drift query-by-query.
 
 Rules implemented:
-1. Money/quantity sums accumulate in DECIMAL(24,6) — exact, hence
+1. Money/quantity sums accumulate in DECIMAL(18,6) — exact, hence
    order-insensitive — then cast back to DOUBLE.  Scale 6 (not the
    survey's 4) because the cast's rounding must land on a decimal the
    expression *conceptually* has: TPC-H-ish money expressions are
@@ -17,6 +17,11 @@ Rules implemented:
    conceptual precision both engines just snap binary noise to the
    same representable point.  (Found empirically: q1 ``sum_charge``
    diverged at scale 4, matched at scale 6.)
+   Precision 18 (not 24): per-VALUE casts fit 18 digits easily (values
+   are row-level money amounts), Spark stores p≤18 decimals in a
+   compact long (measured ~15% faster on the q1 aggregate than p=24),
+   and the SUM accumulator auto-widens to DECIMAL(28,6) — overflow
+   headroom of 10²² per group, ample at 100 TB.
 2. Float vector math is computed in DOUBLE and rounded to 6 places.
 3. Averages are decimal-sum ÷ count in double (not avg(double)).
 4. Counts/sums of ints are cast to BIGINT explicitly (DuckDB SUM(int)
@@ -31,7 +36,7 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # Spark side
 
-_MONEY = "decimal(24,6)"
+_MONEY = "decimal(18,6)"
 
 
 def money_sum(col: Column | str) -> Column:
@@ -70,8 +75,8 @@ def dot_f(vec_a: Column | str, vec_b: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 # Oracle (DuckDB) side — format-string twins of the helpers above.
 
-ORACLE_MONEY_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE)"
-ORACLE_MONEY_AVG = "(CAST(SUM(CAST({expr} AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*))"
+ORACLE_MONEY_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+ORACLE_MONEY_AVG = "(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))"
 ORACLE_COUNT = "CAST(COUNT({expr}) AS BIGINT)"
 # list dot product in double with sequential accumulation, matching
 # F.aggregate's left fold over zip_with.

@@ -134,9 +134,9 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
                AS n_purchases,
            {o_money_sum('value')} AS sum_value,
-           CAST(SUM(CAST(value AS DECIMAL(24,6))) FILTER (WHERE event_type = 'purchase')
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase')
                 AS DOUBLE) AS purchase_value,
-           CAST(SUM(CAST(value AS DECIMAL(24,6))) FILTER (WHERE event_type = 'error')
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error')
                 AS DOUBLE) AS error_value
     FROM events
     GROUP BY user_id
@@ -153,7 +153,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     this beats N separate filtered scans N:1 on input bandwidth.
     """
     events = load(spark, sf_dir, "events")
-    dec_val = F.col("value").cast("decimal(24,6)")
+    dec_val = F.col("value").cast("decimal(18,6)")
     is_purchase = F.col("event_type") == "purchase"
     is_error = F.col("event_type") == "error"
     return events.groupBy("user_id").agg(

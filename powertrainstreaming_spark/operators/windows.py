@@ -137,14 +137,14 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEC = "decimal(24,6)"
+_DEC = "decimal(18,6)"
 
 
 @query(
     "win_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_total
@@ -175,7 +175,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_moving_avg",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice,
-           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
                  / COUNT(*) OVER w, 6) AS moving_avg7
     FROM orders
     WINDOW w AS (ORDER BY o_orderdate, o_orderkey
