@@ -23,6 +23,14 @@ Rules implemented:
    and the SUM accumulator auto-widens to DECIMAL(28,6) — overflow
    headroom of 10²² per group, ample at 100 TB.
 2. Float vector math is computed in DOUBLE and rounded to 6 places.
+   BUT round ONLY values the engines compute via DIFFERENT float paths
+   (different summation order, libm transcendentals).  When both sides
+   evaluate the IDENTICAL expression over identical operands (a ratio
+   of exact ints, elementwise arithmetic), the raw double is bit-exact
+   and rounding only ADDS risk: Spark rounds the shortest decimal repr
+   HALF_UP while DuckDB/numpy round the raw binary value, so exact
+   7-decimal .5 boundaries (k/640, k/128 rationals) diverge — found at
+   sf0.1 in percent_rank and min-max normalization.
 3. Averages are decimal-sum ÷ count in double (not avg(double)).
 4. Counts/sums of ints are cast to BIGINT explicitly (DuckDB SUM(int)
    returns HUGEINT, which would diverge on schema).

@@ -45,7 +45,7 @@ def tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
            CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            CAST(SUM(length(text)) AS BIGINT) AS total_text_len
     FROM documents
     GROUP BY lang, source
@@ -67,7 +67,10 @@ def text_stats_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars_sum.alias("total_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(n_chars_sum.cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        # No round: identical exact-int operands divided identically on
+        # both engines → bit-exact double (rounding identical-operand
+        # math only ADDS boundary-divergence risk; see win_percent_cume).
+        (n_chars_sum.cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_len"),
     )
 
@@ -209,11 +212,11 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
                AS n_word_tokens,
            CAST(len(list_filter(string_split(text, ' '),
                                 t -> t IN ({_STOP_SQL}))) AS INT) AS n_stopwords,
-           round(CAST(len(list_filter(string_split(text, ' '),
-                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
-                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
-           round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE)
-                 / length(text), 6) AS punct_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE)
+               / length(text) AS punct_ratio,
            CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                                           t -> t IN ({_STOP_SQL}))) AS DOUBLE)
                      / len(string_split(text, ' ')) > 0.05
@@ -245,11 +248,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_word_tokens"
         ),
         n_stop.alias("n_stopwords"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(
+        # Raw ratios, no round: identical small-int divisions on both
+        # engines are bit-exact; round() would diverge on exact binary
+        # boundaries (k/128-style rationals).
+        stop_ratio.alias("stopword_ratio"),
+        (
             F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9_ ]"), 0)).cast("double")
-            / F.length("text"),
-            6,
+            / F.length("text")
         ).alias("punct_ratio"),
         F.when(stop_ratio > 0.05, "en_like").otherwise("other").alias("lang_guess"),
     )

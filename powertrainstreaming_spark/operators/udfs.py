@@ -154,12 +154,16 @@ def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     lo, hi = pdf["value"].min(), pdf["value"].max()
     span = hi - lo
     norm = (pdf["value"] - lo) / span if span > 0 else pdf["value"] * 0.0
+    # NO rounding: (v-lo)/span is the identical IEEE double expression
+    # on both engines, so the raw value is bit-exact — while pandas
+    # .round() is half-EVEN and would diverge from SQL round() on
+    # exact binary boundaries (bit us at sf0.1: 0.2890625).
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
             "value": pdf["value"],
-            "value_norm": (norm.astype(float)).round(6),
+            "value_norm": norm.astype(float),
         }
     )
 
@@ -168,8 +172,8 @@ def _minmax_normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     "udtf_apply_in_pandas",
     oracle="""
     SELECT event_id, user_id, value,
-           round(CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
-                      ELSE 0.0 END, 6) AS value_norm
+           CASE WHEN mx > mn THEN (value - mn) / (mx - mn)
+                ELSE 0.0 END AS value_norm
     FROM (
         SELECT event_id, user_id, value,
                MIN(value) OVER (PARTITION BY user_id) AS mn,

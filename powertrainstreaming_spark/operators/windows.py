@@ -268,18 +268,23 @@ def win_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_percent_cume",
     oracle="""
     SELECT n_nationkey, c_custkey, c_acctbal,
-           round(percent_rank() OVER w, 6) AS bal_pct_rank,
-           round(cume_dist() OVER w, 6) AS bal_cume_dist
+           percent_rank() OVER w AS bal_pct_rank,
+           cume_dist() OVER w AS bal_cume_dist
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal, c_custkey)
     """,
     tier="P2",
 )
 def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist of customers by balance within nation,
-    rounded to 6 places (double division — both engines compute
-    (rank-1)/(n-1) and rank/n, but the division result needs the float
-    contract)."""
+    """percent_rank / cume_dist of customers by balance within nation.
+
+    NOT rounded: both engines compute the identical integer→double
+    divisions ((rank-1)/(n-1), rank/n), so the raw doubles are
+    bit-exact — whereas round() DIVERGES on exact 7-decimal .5
+    boundaries (Spark rounds the shortest decimal repr half-up, DuckDB
+    rounds the raw binary; 41/640 bit us at sf0.1).  Rounding is for
+    values computed by different float paths, not identical ones.
+    """
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     joined = customer.join(
@@ -290,6 +295,6 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
     )
