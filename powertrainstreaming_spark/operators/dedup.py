@@ -147,6 +147,18 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary, which stays short regardless of corpus size.
     """
     toks = _doc_tokens(spark, sf_dir)
+    return _pair_jaccard(toks, _prefix_candidates(toks)).filter(
+        F.col("jaccard") >= _JAC_TAU
+    )
+
+
+def _prefix_candidates(toks: DataFrame) -> DataFrame:
+    """PPJoin prefix-filtered candidate pairs for Jaccard ≥ _JAC_TAU.
+
+    Only the ⌊(1-τ)·n⌋+1 globally-rarest tokens of each document
+    enter the inverted-index join (pigeonhole-exact), with a
+    size-ratio filter (τ·max ≤ min) applied in the join condition.
+    """
     sizes = _token_set_sizes(toks)
     # Global rarity order: document frequency per token (tiny: one row
     # per vocabulary word — broadcast everywhere).
@@ -173,7 +185,7 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("token_b"),
         F.col("n").alias("nb"),
     )
-    candidates = (
+    return (
         pa.join(
             pb,
             (F.col("token") == F.col("token_b"))
@@ -185,7 +197,6 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(toks, candidates).filter(F.col("jaccard") >= _JAC_TAU)
 
 
 _MINHASH_K = 32  # signature length
@@ -297,3 +308,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(
         drops, emb.vec_id == drops.drop_id, "left_anti"
     ).select("vec_id", "label")
+
+
+_MIN_TOKENS = 20
+_MAX_PUNCT_RATIO = 0.10
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=f"""
+    WITH quality AS (
+        SELECT doc_id, text, lang, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+          AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ ]')) AS DOUBLE)
+              / length(text) <= {_MAX_PUNCT_RATIO}
+    ),
+    exact_kept AS (
+        SELECT text, arg_min(doc_id, doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens
+        FROM quality GROUP BY text
+    ),
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM exact_kept),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    near_drop AS (
+        SELECT DISTINCT b.doc_id AS drop_id
+        FROM (SELECT a.doc_id AS da, b2.doc_id AS db, COUNT(*) AS i
+              FROM toks a JOIN toks b2
+                ON a.token = b2.token AND a.doc_id < b2.doc_id
+              GROUP BY 1, 2) p
+        JOIN sizes sa ON p.da = sa.doc_id
+        JOIN sizes sb ON p.db = sb.doc_id
+        JOIN exact_kept b ON b.doc_id = p.db
+        WHERE round(CAST(p.i AS DOUBLE) / (sa.n + sb.n - p.i), 6) >= {_JAC_TAU}
+    )
+    SELECT k.doc_id, k.lang, k.source, CAST(k.n_tokens AS INT) AS n_tokens
+    FROM exact_kept k
+    WHERE NOT EXISTS (SELECT 1 FROM near_drop d WHERE d.drop_id = k.doc_id)
+    """,
+    tier="P1",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the flagship LLM-data
+    pipeline composed from this engine's stages in one lineage:
+
+      1. QUALITY GATE  — map-only filter (token count ≥ {mt},
+         punctuation ratio ≤ {mp}); no shuffle.
+      2. EXACT DEDUP   — hash-group on text, min-id representative.
+      3. NEAR-DUP DROP — prefix-filtered Jaccard pairs ≥ τ over the
+         survivors, greedy min-id-wins anti-join.
+
+    Everything is one declarative DataFrame lineage, so Catalyst
+    pipelines the quality filter INTO the dedup scan (no intermediate
+    materialization), and each stage is the already-audited scalable
+    shape.  At 100 TB this exact composition is the nightly corpus
+    build: map-only gate → one shuffle on text → blocked pair join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks_col = F.split(F.col("text"), " ")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9_ ]"), 0))
+    quality = docs.filter(
+        (F.size(toks_col) >= _MIN_TOKENS)
+        & (punct.cast("double") / F.length("text") <= _MAX_PUNCT_RATIO)
+    ).select("doc_id", "text", "lang", "source", F.size(toks_col).alias("n_tokens"))
+
+    exact_kept = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+
+    toks = exact_kept.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    pairs = _pair_jaccard(toks, _prefix_candidates(toks))
+    near_drop = (
+        pairs.filter(F.col("jaccard") >= _JAC_TAU).select(
+            F.col("doc_b").alias("drop_id")
+        )
+    ).distinct()
+
+    return exact_kept.join(
+        near_drop, exact_kept.doc_id == near_drop.drop_id, "left_anti"
+    ).select("doc_id", "lang", "source", "n_tokens")
