@@ -278,3 +278,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS median_price,
+           quantile_cont(o_totalprice, 0.25) AS p25_price,
+           quantile_cont(o_totalprice, 0.95) AS p95_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P2",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and continuous percentiles per group.
+
+    Spark's percentile()/median() and DuckDB's quantile_cont()/median()
+    share linear-interpolation semantics, and the interpolation
+    arithmetic runs over identical operands — bit-exact, no rounding
+    (see exprs.py rule 2).  Exact percentiles buffer each group's
+    values; at 100 TB switch to percentile_approx (t-digest sketch,
+    bounded memory) — the cheap path is agg_approx_distinct's pattern.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.percentile("o_totalprice", 0.25).alias("p25_price"),
+        F.percentile("o_totalprice", 0.95).alias("p95_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -298,3 +298,47 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_pct_rank"),
         F.cume_dist().over(w).alias("bal_cume_dist"),
     )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_total,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    """,
+    tier="P2",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer — a RANGE (value-based)
+    frame over event time, the batch form of a sliding time window.
+
+    RANGE frames include ALL peers of the boundary values, so ties in
+    o_orderdate need no tiebreak column (unlike ROWS frames) — the
+    frame is a deterministic function of the ORDER BY value alone.
+    Spark's rangeBetween needs a numeric sort key: seconds since epoch
+    with the interval expressed in seconds, which is exactly what the
+    oracle's INTERVAL arithmetic does on the timestamp.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 24 * 3600, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+            "trailing_30d_total"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
