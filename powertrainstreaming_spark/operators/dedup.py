@@ -397,3 +397,124 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_kept.join(
         near_drop, exact_kept.doc_id == near_drop.drop_id, "left_anti"
     ).select("doc_id", "lang", "source", "n_tokens")
+
+
+_NGRAM_TAU = 0.90
+
+
+@query(
+    "dedup_near_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS shingle
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM toks a JOIN toks b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_NGRAM_TAU}
+    """,
+    tier="P2",
+)
+def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs on bigram-SHINGLE sets (n-gram Jaccard).
+
+    Word-order-sensitive where unigram Jaccard is bag-of-words blind:
+    two docs with the same vocabulary but different order share few
+    bigrams, so shingling is the standard dedup representation for
+    natural text.  Same candidate/verify machinery as the unigram
+    operator (the shingle IS the token) with the inverted-index join
+    on shingles — rarer than unigrams, so postings are shorter.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks_arr = F.split(F.col("text"), " ")
+    n = F.size(toks_arr)
+    bigrams = F.zip_with(
+        F.slice(toks_arr, 1, n - 1),
+        F.slice(toks_arr, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(bigrams)).alias("token")
+    )
+    ta = shingles.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b")
+    )
+    candidates = (
+        ta.join(
+            tb,
+            (F.col("token") == F.col("token_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(shingles, candidates).filter(
+        F.col("jaccard") >= _NGRAM_TAU
+    )
+
+
+_SIMHASH_BANDS = 4
+_SIMHASH_MAX_HAMMING = 3
+
+
+@query("dedup_near_simhash", oracle=None, tier="P2")
+def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via SimHash fingerprints + Hamming banding
+    (rows-only: hash values are engine-specific; properties pinned in
+    tests/test_properties.py).
+
+    Pipeline: 63-bit SimHash per doc (text_fingerprint's plan) → split
+    into {b} 16-bit bands → pairs matching on ANY band (pigeonhole: a
+    pair within Hamming distance {d} < {b} must agree on ≥1 band) →
+    verify exact Hamming ≤ {d} with bit_count(xor).  The band
+    equi-join is the block key — no all-pairs stage, identical scaling
+    story to MinHash banding but over a single 8-byte fingerprint,
+    which is why SimHash is the cheapest near-dup index at 100 TB.
+    """
+    from powertrainstreaming_spark.operators.text import text_fingerprint
+
+    fp = text_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("(simhash >> (band * 16)) & 65535"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+        "band", "band_val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+        F.col("band").alias("band_b"), F.col("band_val").alias("band_val_b"),
+    )
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    return candidates.withColumn(
+        "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ).filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", "hamming"
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.session import ensure_session_confs
-from powertrainstreaming_spark.sources.loaders import TABLE_DDL, table_path
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL
 
 _MEMORY_SINK_COUNTER = itertools.count()
 

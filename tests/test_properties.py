@@ -115,6 +115,30 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     assert len(exact & approx) >= 2
 
 
+def test_simhash_dedup_finds_exact_duplicates(spark):
+    """Identical texts hash to identical fingerprints, so every
+    exact-duplicate doc pair (sf0.1 has real ones) must surface in
+    dedup_near_simhash with hamming = 0."""
+    from powertrainstreaming_spark.operators.dedup import dedup_near_simhash
+
+    sf = "/root/testdata/sf0.1"
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("doc_a"), "text")
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b, (F.col("text") == F.col("text_b")) & (F.col("doc_a") < F.col("doc_b"))
+        ).collect()
+    }
+    assert len(exact_pairs) > 0
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_near_simhash(spark, sf).filter(F.col("hamming") == 0).collect()
+    }
+    assert exact_pairs <= found
+
+
 def test_simhash_deterministic_and_text_keyed(spark):
     """Fingerprints are a pure function of text: recomputing yields
     identical values (stable across jobs/partitionings)."""
