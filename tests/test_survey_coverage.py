@@ -1,0 +1,76 @@
+"""SURVEY.md §2 coverage guard.
+
+Asserts every operator key from the §2 inventory is registered — a
+refactor that accidentally drops a contract query fails HERE, by name,
+instead of silently shrinking the driver-checked surface.
+"""
+
+from __future__ import annotations
+
+from powertrainstreaming_spark.plans.registry import all_defs
+
+# The complete §2 key list (SURVEY.md:173-311), by section.
+SURVEY_KEYS = {
+    # §2.1 scans / sources / sinks
+    "scan_parquet", "scan_schema_assert", "source_stream_file",
+    "sink_parquet", "sink_memory_console", "source_kafka_adapter",
+    "scan_csv_json",
+    # §2.2 projection / filter
+    "project_compute", "filter_compound", "filter_in_between_like",
+    "filter_null_semantics", "case_when",
+    # §2.3 joins
+    "join_broadcast", "join_shuffle_equi", "join_left_right_full",
+    "join_semi", "join_anti", "join_cross", "join_theta_range",
+    "join_multikey_composite", "join_asof", "join_interval_stream",
+    "join_stream_static",
+    # §2.4 aggregation
+    "agg_global", "agg_groupby_multi", "agg_count_distinct",
+    "agg_approx_distinct", "agg_filter_clause", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "agg_collect_sorted", "distinct_rows",
+    # §2.5 windows
+    "win_row_number_topk", "win_rank_dense", "win_lag_lead",
+    "win_running_sum", "win_moving_avg", "win_first_last_ntile",
+    "win_percent_cume",
+    # §2.6 sort / top-k
+    "sort_multi_nulls", "topk_global",
+    # §2.7 set ops
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    # §2.8 scalar functions
+    "fn_string", "fn_date", "fn_math", "fn_array", "fn_map_struct",
+    "fn_json",
+    # §2.9 UDF surface
+    "udf_python_scalar", "udf_pandas_scalar", "udaf_pandas_grouped",
+    "udtf_apply_in_pandas", "udtf_map_in_pandas",
+    # §2.10 streaming
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_running",
+    "stream_output_modes", "stream_foreachbatch_sink",
+    # §2.11 LLM-pipeline extensions
+    "dedup_exact", "dedup_near_minhash", "dedup_near_exact",
+    "sim_knn_bruteforce", "sim_pair_join_threshold", "sim_topk_per_query",
+    "multimodal_join", "text_tokenize_tf", "text_ngram", "text_tfidf",
+    "text_stats_lang", "text_keyword_filter",
+}
+
+
+def test_every_survey_key_is_registered():
+    missing = SURVEY_KEYS - set(all_defs())
+    assert not missing, f"SURVEY §2 keys no longer registered: {sorted(missing)}"
+
+
+def test_extras_are_intentional():
+    """Queries beyond the §2 inventory are engine extensions — keep the
+    list explicit so accidental registrations stand out in review."""
+    extras = set(all_defs()) - SURVEY_KEYS
+    assert extras == {
+        "dedup_embedding_cosine",
+        "dedup_near_ngram",
+        "dedup_near_simhash",
+        "agg_median_percentile",
+        "multimodal_binary_features",
+        "pipeline_corpus_clean",
+        "sim_knn_ivf",
+        "text_fingerprint",
+        "text_quality_score",
+        "win_range_interval",
+    }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
