@@ -364,3 +364,50 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_id",
         "last_click_ts",
     )
+
+
+_SALT_BUCKETS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT user_id, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY user_id, c_mktsegment
+    """,
+    tier="P2",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED join pattern for skewed keys, oracle-verified against
+    the plain join (salting must never change results).
+
+    Fact side: append salt = event_id % {b} to the join key, spreading
+    one hot key's rows over {b} shuffle partitions.  Dim side:
+    replicate each row ×{b} (explode a literal salt array) so every
+    (key, salt) pair still matches.  The aggregation then reduces the
+    salted partials.  AQE's skew-join splitting makes hand-salting
+    unnecessary for SORT-MERGE joins, but salting remains the tool for
+    skewed AGGREGATIONS and for engines/paths AQE does not cover —
+    this operator keeps the pattern executable and regression-checked.
+    """
+    events = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_events = events.withColumn(
+        "salt", (F.col("event_id") % _SALT_BUCKETS).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "salt",
+        F.explode(F.array([F.lit(i) for i in range(_SALT_BUCKETS)])),
+    )
+    joined = salted_events.join(
+        salted_dim,
+        (salted_events.user_id == salted_dim.c_custkey)
+        & (salted_events.salt == salted_dim.salt),
+    )
+    return joined.groupBy("user_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )

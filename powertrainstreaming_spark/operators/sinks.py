@@ -128,3 +128,68 @@ def sink_memory_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powertrainstreaming_spark.streaming.harness import run_bounded
 
     return run_bounded(agg, "complete")
+
+
+_BUCKETS = 8
+
+
+@query(
+    "sink_bucketed_join",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {o_money_sum('o_totalprice')} AS total_price,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    """,
+    tier="P2",
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table write + co-located join — the pre-shuffle pattern
+    for repeated joins on the same key.
+
+    Both orders and customer are written bucketed by the join key
+    (bucketBy + sortBy + saveAsTable); reading them back, the join and
+    the per-key aggregation reuse the bucketing: no shuffle Exchange
+    anywhere in the plan (asserted in tests/test_properties.py; the
+    tiny dim side still broadcasts, which is replication, not a
+    shuffle).  At 100 TB, bucketing
+    fact tables on their primary join key turns every downstream
+    join/agg on that key into a zero-shuffle stage — you pay the
+    shuffle once at write time instead of per query.
+    """
+    # uuid table names: managed-table locations persist in the
+    # warehouse dir across sessions, so a restarting counter would hit
+    # LOCATION_ALREADY_EXISTS on the second process.
+    import uuid
+
+    n = uuid.uuid4().hex[:12]
+    t_orders, t_cust = f"pts_b_orders_{n}", f"pts_b_cust_{n}"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(t_cust)
+    )
+    bo = spark.table(t_orders)
+    bc = spark.table(t_cust)
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+            F.max("c_acctbal").alias("acctbal"),
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from powertrainstreaming_spark.functions.exprs import dot_f, sim_round
+from powertrainstreaming_spark.functions.exprs import dot_f, money_sum, sim_round
 from powertrainstreaming_spark.operators.joins import (
     _ANTI_MIN_PRICE,
     _SEMI_MIN_PRICE,
@@ -113,6 +113,47 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
     approx = {r.vec_id for r in sim_knn_ivf(spark, SF).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 2
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark):
+    """The co-located bucketed join must not SHUFFLE: bucketing on the
+    join key satisfies the hash-distribution requirement of both the
+    join and the per-key aggregation, so no `Exchange hashpartitioning`
+    appears.  (A BroadcastExchange of the tiny dim side is allowed —
+    that's replication, not a data shuffle, and it's Catalyst's correct
+    choice at this size.)"""
+    from powertrainstreaming_spark.operators.sinks import sink_bucketed_join
+
+    df = sink_bucketed_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan[:2000]}"
+    )
+    assert "Bucketed: true" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting is result-invariant: the salted join equals the plain
+    join under the canonical hash."""
+    from powertrainstreaming_spark.operators.joins import join_skew_salted
+    from powertrainstreaming_spark.testing import canonical_hash
+
+    salted = join_skew_salted(spark, SF)
+    events = load(spark, SF, "events")
+    dim = load(spark, SF, "customer")
+    plain = (
+        events.join(dim, events.user_id == dim.c_custkey)
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+
+    def h(df):
+        return canonical_hash([tuple(r) for r in df.collect()], list(df.columns))
+
+    assert h(salted) == h(plain)
 
 
 def test_simhash_dedup_finds_exact_duplicates(spark):

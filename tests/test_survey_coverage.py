@@ -67,9 +67,11 @@ def test_extras_are_intentional():
         "dedup_near_ngram",
         "dedup_near_simhash",
         "agg_median_percentile",
+        "join_skew_salted",
         "multimodal_binary_features",
         "pipeline_corpus_clean",
         "sim_knn_ivf",
+        "sink_bucketed_join",
         "text_fingerprint",
         "text_quality_score",
         "win_range_interval",
