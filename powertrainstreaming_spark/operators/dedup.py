@@ -518,3 +518,94 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+_CC_MAX_ITERS = 50
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da, db FROM inter
+              JOIN sizes sa ON da = sa.doc_id
+              JOIN sizes sb ON db = sb.doc_id
+              WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JAC_TAU}),
+    edges AS (SELECT da AS src, db AS dst FROM pairs
+              UNION SELECT db, da FROM pairs),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src)
+    SELECT node AS doc_id, MIN(label) AS component_id
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE, tier="P2")
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over the
+    near-dup pair graph (Jaccard ≥ τ edges), labeling every document
+    with the min doc_id of its component.
+
+    Pair-level dedup under-collapses: if A~B and B~C but A~C misses
+    the threshold, keeping one doc per PAIR still leaves two copies of
+    the cluster.  Training-data pipelines therefore cluster the pair
+    graph and keep one representative per component — this operator is
+    that step, exact.
+
+    Plan: iterative min-label propagation on DataFrames.  Each round,
+    every node takes the min of its own label and its neighbors'
+    (edges ⋈ labels shuffle-join + groupBy-min, both on doc_id);
+    ``localCheckpoint`` truncates lineage per round so the plan stays
+    O(1) deep; convergence is detected via the monotonically
+    decreasing Σlabels (labels only ever decrease, so an unchanged sum
+    IS the fixpoint — one scalar agg, no old-vs-new join).  Rounds =
+    graph eccentricity of each component's min node (8 on this corpus;
+    duplicate clusters stay shallow at any corpus size because near-dup
+    graphs are locally dense).  At 100 TB the same loop runs with the
+    edge list hash-partitioned on src, and the O(log²n) large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce") is the drop-in upgrade if a pathological long-chain
+    graph ever appears; the oracle is DuckDB's recursive CTE computing
+    reachability closure.
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    pairs = (
+        _pair_jaccard(toks, _prefix_candidates(toks))
+        .filter(F.col("jaccard") >= _JAC_TAU)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(_CC_MAX_ITERS):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds"
+        )
+    return labels

@@ -156,6 +156,27 @@ def test_salted_join_matches_plain_join(spark):
     assert h(salted) == h(plain)
 
 
+def test_cc_clusters_are_closed_over_pairs(spark):
+    """Connected-components invariants: every near-dup pair's endpoints
+    land in the same component, and each component's id is the min
+    doc_id among its members (the canonical representative)."""
+    from powertrainstreaming_spark.operators.dedup import (
+        dedup_cluster_cc,
+        dedup_near_exact,
+    )
+
+    labels = {r.doc_id: r.component_id for r in dedup_cluster_cc(spark, SF).collect()}
+    pairs = dedup_near_exact(spark, SF).select("doc_a", "doc_b").collect()
+    assert pairs, "fixture should have near-dup pairs"
+    for p in pairs:
+        assert labels[p.doc_a] == labels[p.doc_b]
+    members: dict[int, list[int]] = {}
+    for doc, comp in labels.items():
+        members.setdefault(comp, []).append(doc)
+    for comp, docs in members.items():
+        assert comp == min(docs)
+
+
 def test_simhash_dedup_finds_exact_duplicates(spark):
     """Identical texts hash to identical fingerprints, so every
     exact-duplicate doc pair (sf0.1 has real ones) must surface in
