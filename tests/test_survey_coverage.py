@@ -68,6 +68,7 @@ def test_extras_are_intentional():
         "dedup_near_simhash",
         "agg_median_percentile",
         "dedup_cluster_cc",
+        "sim_knn_ivf_kmeans",
         "join_skew_salted",
         "multimodal_binary_features",
         "pipeline_corpus_clean",
