@@ -25,10 +25,13 @@ from powertrainstreaming_spark.plans.registry import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (SURVEY.md §7.2 minimum slice) on sf0.001."""
-    from powertrainstreaming_spark.operators.joins import q3_top_unshipped
+    """Flagship on sf0.001: the end-to-end training-corpus cleaning
+    pipeline (quality gate → exact dedup → near-dup drop), the
+    engine's distinctive composition — oracle-gated as
+    ``pipeline_corpus_clean`` and golden-pinned in tests/golden/."""
+    from powertrainstreaming_spark.operators.dedup import pipeline_corpus_clean
 
-    return q3_top_unshipped(spark, "/root/testdata/sf0.001")
+    return pipeline_corpus_clean(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
