@@ -299,3 +299,190 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: fit n-gram profiles → broadcast model → score → argmax
+
+_LANGS = ("de", "en", "es", "fr", "zh")  # fixture label set (TESTDATA.md)
+
+
+def _lang_rate_cols(prefix: str) -> list[str]:
+    return [f"{prefix}{lang}" for lang in _LANGS]
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    labeled AS (
+        SELECT d.lang, unnest(string_split(d.text, ' ')) AS token
+        FROM documents d),
+    counts AS (
+        SELECT token, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM labeled GROUP BY token, lang),
+    totals AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS total
+        FROM labeled GROUP BY lang),
+    profile AS (
+        SELECT token,
+        {",".join(
+            f"COALESCE(SUM(CASE WHEN c.lang = '{lang}' THEN "
+            f"CAST(c.cnt AS DOUBLE) / t.total END), 0.0) AS r_{lang}"
+            for lang in _LANGS
+        )}
+        FROM counts c JOIN totals t ON c.lang = t.lang
+        GROUP BY token),
+    scored AS (
+        SELECT k.doc_id,
+        {",".join(
+            f"list_sum(list_transform(list_sort(list(struct_pack("
+            f"tok := k.token, r := p.r_{lang}))), s -> s.r)) AS s_{lang}"
+            for lang in _LANGS
+        )}
+        FROM toks k JOIN profile p ON k.token = p.token
+        GROUP BY k.doc_id)
+    SELECT doc_id, {", ".join(f"s_{lang}" for lang in _LANGS)},
+           CASE
+           {" ".join(
+               "WHEN " + " AND ".join(
+                   f"s_{lang} >= s_{other}"
+                   for other in _LANGS if other != lang
+               ) + f" THEN '{lang}'"
+               for lang in _LANGS
+           )}
+           END AS predicted_lang
+    FROM scored
+    """,
+    tier="P2",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPUTED language identification, n-gram-profile style: fit
+    per-language token-frequency profiles from the labeled corpus, then
+    score every document against each profile and argmax.
+
+    (On this fixture all languages share one vocabulary, so predictions
+    hover at chance — the operator's contract is the *computation*,
+    verified exactly against the SQL twin; swap the tokenizer to
+    character n-grams for a real corpus, identical plan.)
+
+    Determinism: profile rates are cnt/total over exact BIGINTs —
+    identical operands on both engines, bit-exact (exprs.py rule 2, no
+    rounding).  Per-document scores SUM those doubles, which IS
+    order-sensitive — so both engines fold the rates in sorted-token
+    order (sort_array + aggregate here, list_sort + list_sum in the
+    oracle), making the sum bit-reproducible.  Argmax ties break by
+    the fixed _LANGS comparison order, identical in both dialects.
+
+    100 TB: the profile is model-sized (vocab × n_langs) — fit is one
+    partial/final agg, scoring is a BROADCAST join + per-doc fold; the
+    only data-sized shuffle keys on doc_id.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    labeled = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    totals = labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    profile = (
+        labeled.groupBy("token", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(totals, "lang")
+        .groupBy("token")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("lang") == lang,
+                            F.col("cnt").cast("double") / F.col("total"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ).alias(f"r_{lang}")
+                for lang in _LANGS
+            ]
+        )
+    )
+
+    def _fold_rates(field: str):
+        # Single-param lambdas only: a two-param lambda would be read
+        # by transform() as the (element, index) signature.
+        return F.aggregate(
+            F.transform(F.col("rates"), lambda s: s.getField(field)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"s_{field.removeprefix('r_')}")
+
+    scored = (
+        toks.join(F.broadcast(profile), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("token").alias("tok"),
+                        *[F.col(f"r_{lang}").alias(f"r_{lang}") for lang in _LANGS],
+                    )
+                )
+            ).alias("rates")
+        )
+        .select("doc_id", *[_fold_rates(f"r_{lang}") for lang in _LANGS])
+    )
+    pred_expr = None
+    for lang in _LANGS:
+        cond = None
+        for other in _LANGS:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred_expr = (
+            F.when(cond, F.lit(lang))
+            if pred_expr is None
+            else pred_expr.when(cond, F.lit(lang))
+        )
+    return scored.select(
+        "doc_id",
+        *[F.col(f"s_{lang}") for lang in _LANGS],
+        pred_expr.alias("predicted_lang"),
+    )
+
+
+# GPT-2-style pre-tokenizer shape, ASCII simplification: a token is an
+# optionally-space-prefixed letter run, digit run, or punctuation run,
+# or a whitespace run.  Same RE2/Java-regex semantics in both engines.
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe_tokens,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{_BPE_PAT}')) AS bytes_per_token
+    FROM documents
+    """,
+    tier="P2",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens
+    next to a BPE-ish regex pre-tokenization (letter/digit/punct runs,
+    optional leading space — the GPT-2 pre-tokenizer shape without the
+    contraction table), plus bytes-per-token, the compression-ratio
+    proxy quality filters threshold on.
+
+    Map-only JVM regex — no shuffle at any scale; bytes/token divides
+    identical exact ints on both engines (bit-exact, no rounding).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_bpe).alias("bytes_per_token"),
+    )

@@ -69,6 +69,8 @@ def test_extras_are_intentional():
         "agg_median_percentile",
         "dedup_cluster_cc",
         "sim_knn_ivf_kmeans",
+        "text_lang_id",
+        "text_token_count",
         "join_skew_salted",
         "multimodal_binary_features",
         "pipeline_corpus_clean",
