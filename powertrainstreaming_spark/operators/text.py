@@ -486,3 +486,69 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bpe.alias("n_bpe_tokens"),
         (F.length("text").cast("double") / n_bpe).alias("bytes_per_token"),
     )
+
+
+_RH_B = 131  # polynomial base
+_RH_M = 1_000_000_007  # modulus: acc*B + c < 1.4e11 << 2^63, overflow-safe
+_RH_W = 8  # shingle width (chars) for the winnowing fingerprint
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(text, ''),
+                              ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+        FROM documents)
+    SELECT doc_id,
+           list_reduce(codes, (acc, x) -> (acc * {_RH_B} + x) % {_RH_M})
+               AS full_fp,
+           CASE WHEN len(codes) >= {_RH_W} THEN
+               list_min(list_transform(range(1, len(codes) - {_RH_W} + 2),
+                   i -> list_reduce(codes[i : i + {_RH_W} - 1],
+                                    (acc, x) -> (acc * {_RH_B} + x) % {_RH_M})))
+           ELSE list_reduce(codes, (acc, x) -> (acc * {_RH_B} + x) % {_RH_M})
+           END AS winnow_fp
+    FROM c
+    """,
+    tier="P2",
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-style polynomial rolling-hash fingerprints — the
+    content-defined-chunking / winnowing primitive next to the SimHash
+    fingerprint: ``full_fp`` hashes the whole document (cheap exact-dup
+    key), ``winnow_fp`` is the minimum hash over all 8-char shingles
+    (stable under appends outside the minimal window — the winnowing
+    selection rule).
+
+    EXACT integer arithmetic mod 1e9+7 on both engines, so unlike
+    SimHash this fingerprint is fully SQL-hash-verified.  All JVM
+    higher-order functions, map-only, no shuffle.  (Spark trap: the
+    shingle count must be guarded — sequence(1, k) counts DOWN for
+    k < 1, fabricating windows for short docs.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("bigint"))
+
+    def _fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * _RH_B + x) % _RH_M,
+        )
+
+    with_codes = docs.select("doc_id", codes.alias("codes"))
+    n = F.size(F.col("codes"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - _RH_W + 1),
+        lambda i: _fold(F.slice(F.col("codes"), i, _RH_W)),
+    )
+    full_fp = _fold(F.col("codes"))
+    return with_codes.select(
+        "doc_id",
+        full_fp.alias("full_fp"),
+        F.when(n >= _RH_W, F.array_min(shingles))
+        .otherwise(full_fp)
+        .alias("winnow_fp"),
+    )

@@ -71,6 +71,7 @@ def test_extras_are_intentional():
         "sim_knn_ivf_kmeans",
         "text_lang_id",
         "text_token_count",
+        "text_fingerprint_rolling",
         "join_skew_salted",
         "multimodal_binary_features",
         "pipeline_corpus_clean",
