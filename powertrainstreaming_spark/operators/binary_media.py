@@ -94,3 +94,72 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
     )
     return with_payload.mapInPandas(_extract_features, _FEATURE_SCHEMA)
+
+
+_FRAME_BYTES = 64  # bytes per sampled "frame"
+_FRAME_STRIDE = 256  # sample one frame every 256 payload bytes
+
+_FRAME_SCHEMA = "doc_id BIGINT, frame_no INT, offset BIGINT, checksum BIGINT"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage with 1→N row FAN-OUT: each payload yields one
+    row per sampled frame (video frame-sampling shape).  The fan-out
+    happens inside the Arrow batch — no explode shuffle, no payload
+    copy per frame."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            frame_no = 0
+            for off in range(0, n - _FRAME_BYTES + 1, _FRAME_STRIDE):
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "frame_no": frame_no,
+                        "offset": off,
+                        "checksum": sum(payload[off : off + _FRAME_BYTES]),
+                    }
+                )
+                frame_no += 1
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "offset", "checksum"])
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, (strlen(text) - {_FRAME_BYTES})
+                               // {_FRAME_STRIDE} + 1)) AS i
+        FROM documents
+        WHERE strlen(text) >= {_FRAME_BYTES})
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_no,
+           CAST(i * {_FRAME_STRIDE} AS BIGINT) AS offset,
+           CAST(list_sum(list_transform(
+                string_split(substr(text, i * {_FRAME_STRIDE} + 1,
+                                    {_FRAME_BYTES}), ''),
+                c -> ascii(c))) AS BIGINT) AS checksum
+    FROM f
+    """,
+    tier="P2",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media: every payload emits one row
+    per sampled fixed-size frame (stride 256, frame 64 bytes) — the
+    video decode-and-sample shape, where a real deployment swaps the
+    byte-window stub for an ffmpeg keyframe extractor with the SAME
+    1→N mapInPandas contract.
+
+    The oracle re-derives each frame's byte window in SQL (ASCII
+    corpus: substr positions ≡ byte offsets), so the fan-out row set —
+    count, offsets, checksums — is hash-verified, not just counted.
+    At 100 TB the fan-out multiplies rows ~n/stride map-side BEFORE
+    any shuffle; downstream ops see small typed rows, never payloads.
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(_sample_frames, _FRAME_SCHEMA)

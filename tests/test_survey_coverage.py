@@ -72,6 +72,7 @@ def test_extras_are_intentional():
         "text_lang_id",
         "text_token_count",
         "text_fingerprint_rolling",
+        "multimodal_frame_sample",
         "join_skew_salted",
         "multimodal_binary_features",
         "pipeline_corpus_clean",
