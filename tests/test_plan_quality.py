@@ -86,3 +86,20 @@ def test_knn_probe_plan_is_map_only(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pair_join_is_blocked_never_cartesian(spark):
+    """All-pairs similarity MUST block on a key (label here): the plan
+    may never contain an unconditional cross product over the corpus —
+    the #1 scale-killer for pair operators at 100 TB."""
+    plan = _plan(all_defs()["sim_pair_join_threshold"].fn(spark, SF), "simple", final=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dedup_join_is_blocked_never_cartesian(spark):
+    """The PPJoin prefix-filtered Jaccard join must be an equi-join on
+    the (rare-token) block key, not any flavor of cross product."""
+    plan = _plan(all_defs()["dedup_near_exact"].fn(spark, SF), "simple", final=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
