@@ -108,3 +108,66 @@ def o_count(expr: str = "*") -> str:
 
 def o_dot(a: str, b: str) -> str:
     return ORACLE_DOT.format(a=a, b=b)
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-exact string hashing (Rabin polynomial fingerprints).
+#
+# Engine-native hashes (murmur3 F.hash, xxhash64) are faster but not
+# reproducible outside the JVM, which forces rows-only driver checks on
+# every hash-keyed operator.  A polynomial fold over character codes in
+# exact int64 arithmetic is computable bit-identically by any SQL
+# engine, upgrading MinHash/SimHash/fingerprint operators to full
+# value-hash verification.  At 100 TB the fold is still a map-only JVM
+# codegen expression; swap in xxhash64 where cross-engine
+# verifiability is not required and raw throughput is.
+
+POLY_M = 1_000_000_007  # primary modulus: acc*B + c < 1.4e11 << 2^63
+POLY_M2 = 999_999_937  # independent modulus for multi-hash schemes
+POLY_B = 131  # primary base
+POLY_B2 = 137  # independent base
+
+
+def poly_hash(col: Column | str, base: int = POLY_B, mod: int = POLY_M) -> Column:
+    """Polynomial hash of a string column: fold (acc*base + code) % mod
+    over ascii char codes, init 0 — bit-identical to ``o_poly_hash``."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+def poly_fold(arr: Column, base: int = POLY_B, mod: int = POLY_M) -> Column:
+    """Fold an int64-array column into one hash — combine sub-hashes
+    (e.g. a band of MinHash values) order-sensitively."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+# init-0 via list_prepend so empty lists hash to 0, matching
+# F.aggregate's explicit init.
+ORACLE_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split_regex({expr}, ''), "
+    "ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(acc, x) -> (acc * {base} + x) % {mod})"
+)
+
+ORACLE_POLY_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), "
+    "(acc, x) -> (acc * {base} + x) % {mod})"
+)
+
+
+def o_poly_hash(expr: str, base: int = POLY_B, mod: int = POLY_M) -> str:
+    return ORACLE_POLY_HASH.format(expr=expr, base=base, mod=mod)
+
+
+def o_poly_fold(arr: str, base: int = POLY_B, mod: int = POLY_M) -> str:
+    return ORACLE_POLY_FOLD.format(arr=arr, base=base, mod=mod)

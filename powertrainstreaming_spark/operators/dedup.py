@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powertrainstreaming_spark.functions.exprs import o_dot
+from powertrainstreaming_spark.functions.exprs import (
+    POLY_B2,
+    POLY_M,
+    POLY_M2,
+    o_dot,
+    o_poly_fold,
+    o_poly_hash,
+    poly_fold,
+    poly_hash,
+)
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -205,18 +214,49 @@ _MINHASH_B = _MINHASH_K // _MINHASH_R  # 4 bands
 # P(candidate | j) = 1-(1-j^r)^b: ~0.99 at j=0.95, ~0.12 at j=0.65
 # (this corpus's median) — high recall at τ with bounded candidates.
 
+_MINHASH_ORACLE = f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    th AS (SELECT doc_id, {o_poly_hash('token')} AS h FROM toks),
+    seeded AS (SELECT doc_id, h, unnest(range(0, {_MINHASH_K})) AS seed FROM th),
+    mh AS (SELECT doc_id, seed,
+                  MIN(((2 * seed + 1) * h + seed) % {POLY_M}) AS mh
+           FROM seeded GROUP BY doc_id, seed),
+    sigs AS (SELECT doc_id, seed // {_MINHASH_R} AS band,
+                    {o_poly_fold(f'list(mh ORDER BY seed)')} AS sig
+             FROM mh GROUP BY doc_id, seed // {_MINHASH_R}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sigs a JOIN sigs b
+               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM cand c
+              JOIN toks a ON a.doc_id = c.doc_a
+              JOIN toks b ON b.doc_id = c.doc_b AND a.token = b.token
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JAC_TAU}
+    """
 
-@query("dedup_near_minhash", oracle=None, tier="P2")
+
+@query("dedup_near_minhash", oracle=_MINHASH_ORACLE, tier="P2")
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, exact-verified.
 
     Pipeline: distinct tokens → k=32 seeded min-hashes per doc →
     4 bands of 8 rows → band-signature equi-join produces candidates →
-    exact Jaccard verification keeps pairs ≥ τ.  All hashing is
-    F.hash (Murmur3, deterministic across runs/executors) — rows-only
-    driver check since hash functions are engine-specific, but
-    tests/test_properties.py asserts every emitted pair is a true
-    ≥ τ pair and that recall vs dedup_near_exact is high.
+    exact Jaccard verification keeps pairs ≥ τ.  Token hashing is the
+    cross-engine-exact polynomial hash (exprs.poly_hash) with the
+    seed family h_i(t) = ((2i+1)·H(t) + i) mod p, so the ENTIRE LSH
+    pipeline — signatures, band buckets, candidates, verified pairs —
+    is replicated bit-for-bit by the DuckDB oracle (full value-hash
+    driver check; swap xxhash64 in where verifiability isn't needed).
+    tests/test_properties.py additionally asserts every emitted pair
+    is a true ≥ τ pair and that recall vs dedup_near_exact is high.
 
     This is THE 100 TB near-dup design: no all-pairs stage exists —
     candidates come only from exact band matches (an equi-join whose
@@ -224,16 +264,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision probability rather than corpus size.
     """
     toks = _doc_tokens(spark, sf_dir)
-    seeded = toks.withColumn(
+    th = toks.select("doc_id", poly_hash("token").alias("h"))
+    seeded = th.withColumn(
         "seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)))
     )
     mh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.hash("token", "seed")).alias("mh")
+        F.min(
+            ((2 * F.col("seed") + 1) * F.col("h") + F.col("seed")) % POLY_M
+        ).alias("mh")
     )
     sigs = (
         mh.withColumn("band", (F.col("seed") / F.lit(_MINHASH_R)).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.hash(F.array_sort(F.collect_list(F.struct("seed", "mh")))).alias("sig"))
+        .agg(
+            poly_fold(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.getField("mh"),
+                )
+            ).alias("sig")
+        )
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     sb = sigs.select(
@@ -467,22 +517,59 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 15  # 4 bands × 15 bits = the 60-bit fingerprint
 _SIMHASH_MAX_HAMMING = 3
 
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    th AS (SELECT doc_id,
+                  {o_poly_hash('token')} * 1073741824
+                  + {o_poly_hash('token', base=POLY_B2, mod=POLY_M2)} AS h
+           FROM toks),
+    bits AS (SELECT doc_id, h, unnest(range(0, 60)) AS bit FROM th),
+    votes AS (SELECT doc_id, bit,
+                     CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+              FROM bits),
+    s AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY doc_id, bit),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS BIGINT) AS simhash
+           FROM s GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_BANDS})) AS band
+              FROM fp),
+    bv AS (SELECT doc_id, simhash, band,
+                  (simhash >> (band * {_SIMHASH_BAND_BITS}))
+                  & {(1 << _SIMHASH_BAND_BITS) - 1} AS band_val
+           FROM bands),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS fp_a, b.simhash AS fp_b
+             FROM bv a JOIN bv b
+               ON a.band = b.band AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_MAX_HAMMING}
+    """
 
-@query("dedup_near_simhash", oracle=None, tier="P2")
+
+@query("dedup_near_simhash", oracle=_SIMHASH_ORACLE, tier="P2")
 def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via SimHash fingerprints + Hamming banding
-    (rows-only: hash values are engine-specific; properties pinned in
-    tests/test_properties.py).
+    """Near-duplicate pairs via SimHash fingerprints + Hamming banding.
 
-    Pipeline: 63-bit SimHash per doc (text_fingerprint's plan) → split
-    into {b} 16-bit bands → pairs matching on ANY band (pigeonhole: a
-    pair within Hamming distance {d} < {b} must agree on ≥1 band) →
-    verify exact Hamming ≤ {d} with bit_count(xor).  The band
-    equi-join is the block key — no all-pairs stage, identical scaling
-    story to MinHash banding but over a single 8-byte fingerprint,
-    which is why SimHash is the cheapest near-dup index at 100 TB.
+    Pipeline: 60-bit SimHash per doc (text_fingerprint's plan, built on
+    the cross-engine-exact polynomial hash pair) → split into {b}
+    15-bit bands → pairs matching on ANY band (pigeonhole: a pair
+    within Hamming distance {d} < {b} must agree on ≥1 band) → verify
+    exact Hamming ≤ {d} with bit_count(xor).  The DuckDB oracle
+    replicates fingerprint, banding, and verification bit-for-bit —
+    full value-hash driver check; properties additionally pinned in
+    tests/test_properties.py.  The band equi-join is the block key —
+    no all-pairs stage, identical scaling story to MinHash banding but
+    over a single 8-byte fingerprint, which is why SimHash is the
+    cheapest near-dup index at 100 TB.
     """
     from powertrainstreaming_spark.operators.text import text_fingerprint
 
@@ -493,7 +580,10 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1))).alias("band"),
     ).withColumn(
         "band_val",
-        F.expr("(simhash >> (band * 16)) & 65535"),
+        F.expr(
+            f"(simhash >> (band * {_SIMHASH_BAND_BITS}))"
+            f" & {(1 << _SIMHASH_BAND_BITS) - 1}"
+        ),
     )
     ba = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),

@@ -11,6 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.functions.exprs import (
+    POLY_B2,
+    POLY_M2,
+    o_poly_hash,
+    poly_hash,
+)
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -260,30 +266,63 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint", oracle=None, tier="P2")
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash document fingerprint from distinct-token hashes
-    (rows-only check: hash functions are engine-specific, so no
-    cross-engine oracle; determinism and collision properties are
-    covered by tests/test_properties.py).
+FP_BITS = 60  # 30 bits from each independent polynomial hash
 
-    Plan: distinct (doc, token) → xxhash64 → explode 63 bit positions →
-    per-(doc, bit) signed vote → fingerprint = Σ 2^i over positive
-    bits.  All JVM-side; the shuffle carries (doc, bit) partial sums.
-    At 100 TB the 63× bit fan-out happens AFTER token dedup and before
-    the only shuffle, and near-dup search over fingerprints is a
-    Hamming-ball band join (split the 63 bits into bands, exact-match
-    bands as the block key) — same blocked-join scaling as MinHash.
+_FINGERPRINT_ORACLE = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    th AS (SELECT doc_id,
+                  {o_poly_hash('token')} * 1073741824
+                  + {o_poly_hash('token', base=POLY_B2, mod=POLY_M2)} AS h
+           FROM toks),
+    bits AS (SELECT doc_id, h, unnest(range(0, {FP_BITS})) AS bit FROM th),
+    votes AS (SELECT doc_id, bit,
+                     CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+              FROM bits),
+    s AS (SELECT doc_id, bit, SUM(vote) AS s FROM votes GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM s GROUP BY doc_id
+    """
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tier="P2")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{bits}-bit SimHash document fingerprint from distinct-token
+    hashes.  Token hashing concatenates two independent 30-bit
+    cross-engine-exact polynomial hashes (exprs.poly_hash, bases
+    131/137, moduli 1e9+7/999999937), so the fingerprint is replicated
+    bit-for-bit by the DuckDB oracle — full value-hash driver check
+    (xxhash64 is the production swap-in where verifiability isn't
+    needed); determinism/collision properties additionally covered by
+    tests/test_properties.py.
+
+    Plan: distinct (doc, token) → poly-hash pair → explode {bits} bit
+    positions → per-(doc, bit) signed vote → fingerprint = Σ 2^i over
+    positive bits.  All JVM-side; the shuffle carries (doc, bit)
+    partial sums.  At 100 TB the {bits}× bit fan-out happens AFTER
+    token dedup and before the only shuffle, and near-dup search over
+    fingerprints is a Hamming-ball band join (split the bits into
+    bands, exact-match bands as the block key) — same blocked-join
+    scaling as MinHash.
     """
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
     )
-    hashed = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    hashed = tok.select(
+        "doc_id",
+        (
+            poly_hash("token") * F.lit(1073741824).cast("bigint")
+            + poly_hash("token", base=POLY_B2, mod=POLY_M2)
+        ).alias("h"),
+    )
     bits = hashed.select(
         "doc_id",
         "h",
-        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(FP_BITS - 1))).alias("bit"),
     )
     votes = bits.select(
         "doc_id",
