@@ -15,6 +15,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     scans,
     setops,
     similarity,
+    sampling,
     sinks,
     streaming,
     text,

@@ -310,3 +310,67 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.95).alias("p95_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_PIVOT_ORACLE = "SELECT o_orderstatus, " + ", ".join(
+    f"""CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) AS "{p}" """
+    for p in _PRIORITIES
+) + " FROM orders GROUP BY o_orderstatus"
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE, tier="P1")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per status x priority.
+
+    The pivot value list is EXPLICIT — without it Spark runs an extra
+    job to collect distinct pivot values to the driver, which at 100 TB
+    is a full shuffle just to name columns.  With the list given, the
+    plan is a single partial/final hash aggregate over one shuffle,
+    identical in shape to any grouped agg.  Cells with no input rows
+    are coalesced to 0 to match SQL's COUNT FILTER semantics.
+    """
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0).cast("bigint")).alias(p) for p in _PRIORITIES],
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    tier="P1",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): part measures melted to (key, metric,
+    value) rows.
+
+    ``DataFrame.unpivot`` is a zero-shuffle generator — each input row
+    emits one output row per value column in place, so the plan stays
+    a map-only scan at any scale (the UNION-ALL oracle formulation
+    would scan the table once per measure instead).  Value columns are
+    cast to a common type first; unpivot requires it and the oracle's
+    UNION ALL coerces the same way.
+    """
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

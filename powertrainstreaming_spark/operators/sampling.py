@@ -1,0 +1,103 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) reproducible — rerunning over a
+re-partitioned or re-sharded copy of the corpus must keep exactly the
+same rows, so no RNG seeded per-partition (`df.sample` keeps different
+rows when the split layout changes), and (b) map-only — the keep/drop
+decision reads nothing but the row itself.  Both operators key the
+decision on a hash computed in exact int64 arithmetic, so the kept set
+is bit-identical in any engine (full DuckDB value-hash oracle) and
+stable across reruns, shards, and engines — which is what makes a
+sampled training set auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.functions.exprs import (
+    POLY_M,
+    o_poly_hash,
+    poly_hash,
+)
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+
+# Knuth multiplicative constant + a small odd mixer for the line number.
+_MIX_A = 2654435761
+_MIX_B = 40503
+_SAMPLE_PCT = 10  # keep 10% of lineitem
+
+# Reducing the key mod POLY_M (< 2^30) BEFORE multiplying keeps the
+# product under 2^62 even for arbitrarily large order keys, so the
+# arithmetic never overflows int64 on either engine.
+_BERNOULLI_ORACLE = f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE (((l_orderkey % {POLY_M}) * {_MIX_A}
+            + CAST(l_linenumber AS BIGINT) * {_MIX_B}) % {POLY_M}) % 100
+          < {_SAMPLE_PCT}
+    """
+
+
+@query("sample_bernoulli_hash", oracle=_BERNOULLI_ORACLE, tier="P1")
+def sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample of lineitem keyed on a primary-key hash.
+
+    The keep/drop predicate is a pure row-local int64 expression, so
+    the plan is a map-only filtered scan (pushdown-eligible, no
+    shuffle, no RNG state) and the SAME rows are kept on any engine,
+    any partitioning, any rerun — unlike ``df.sample``, whose output
+    depends on the physical split layout.  At 100 TB this is the only
+    sampling design whose output can be reproduced for an audit.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        (F.col("l_orderkey") % POLY_M) * F.lit(_MIX_A).cast("bigint")
+        + F.col("l_linenumber").cast("bigint") * _MIX_B
+    ) % POLY_M
+    return li.filter((h % 100) < _SAMPLE_PCT).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+_STRATUM_CAP = 100  # target docs per language
+
+_STRATIFIED_ORACLE = f"""
+    WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN cnt USING (lang)
+    WHERE ({o_poly_hash('d.text')} % 10000)
+          < CAST(floor(least(1.0, {_STRATUM_CAP} / (n * 1.0)) * 10000) AS BIGINT)
+    """
+
+
+@query("sample_stratified", oracle=_STRATIFIED_ORACLE, tier="P1")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language proportional downsampling toward a target stratum
+    size — the corpus-balancing step of a training-data pipeline.
+
+    Per-stratum keep fraction = min(1, cap / count); rows are kept when
+    their content hash falls under the fraction, so over-represented
+    languages are thinned to ~cap docs in expectation while small
+    strata pass through whole.  Content-hash (not key-hash) keeping
+    means byte-identical duplicates sample identically.
+
+    Scale shape: one tiny aggregate (one row per language — bounded by
+    the number of languages on Earth, so broadcastable by contract,
+    unlike anything that grows with corpus size) broadcast-joined back,
+    then a map-only filter.  No window, no per-stratum sort — the
+    per-group top-k alternative shuffles and sorts every stratum, which
+    is exactly what skewed languages can't afford at 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    frac = F.least(F.lit(1.0), F.lit(_STRATUM_CAP) / F.col("n"))
+    thresh = F.floor(frac * 10000).cast("bigint")
+    return (
+        docs.join(F.broadcast(cnt), "lang")
+        .filter((poly_hash("text") % 10000) < thresh)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

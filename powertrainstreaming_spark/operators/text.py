@@ -591,3 +591,52 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(full_fp)
         .alias("winnow_fp"),
     )
+
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) - 1) // {_CHUNK_STRIDE} + 1)) AS chunk_id
+        FROM documents
+        WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_LEN})
+               AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS INT),
+                              {_CHUNK_LEN})) AS INT) AS n_chunk_chars
+    FROM c
+    """
+
+
+@query("text_chunk_overlap", oracle=_CHUNK_ORACLE, tier="P1")
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks
+    (len 200, stride 150) — the context-window packing step of a
+    training/RAG pipeline.
+
+    The chunk index is generated with ``sequence`` + ``explode`` and the
+    slice with ``substr`` over (start, len) columns — a pure row-local
+    generator, so the plan is a map-only scan whose output is ~
+    (doc_len / stride) rows per doc with NO shuffle and no Python.
+    Chunking fan-out happens after pushdown/pruning, so at 100 TB the
+    scan still prunes to (doc_id, text).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = F.floor((F.length("text") - 1) / _CHUNK_STRIDE) + 1
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("cid"),
+    )
+    start = (F.col("cid") * _CHUNK_STRIDE + 1).cast("int")
+    chunk_text = F.col("text").substr(start, F.lit(_CHUNK_LEN))
+    return chunks.select(
+        "doc_id",
+        F.col("cid").cast("int").alias("chunk_id"),
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("n_chunk_chars"),
+    )

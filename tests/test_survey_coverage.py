@@ -64,6 +64,11 @@ def test_extras_are_intentional():
     extras = set(all_defs()) - SURVEY_KEYS
     assert extras == {
         "dedup_embedding_cosine",
+        "agg_pivot",
+        "agg_unpivot",
+        "sample_bernoulli_hash",
+        "sample_stratified",
+        "text_chunk_overlap",
         "dedup_near_ngram",
         "dedup_near_simhash",
         "agg_median_percentile",
