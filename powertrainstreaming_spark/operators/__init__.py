@@ -6,6 +6,7 @@ Importing this package registers every declared query in
 
 from powertrainstreaming_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     binary_media,
     dedup,
     filters,

@@ -1,0 +1,232 @@
+"""Product-analytics operators over the events table (engine
+extensions, SURVEY.md §2.12).
+
+The reference is a telemetry app; funnel and cohort-retention are the
+two query shapes every telemetry user builds on day one, so they are
+first-class here.  Both are pure groupBy/join compositions — shuffles
+only on user_id, partial aggregation everywhere, no windows over
+unbounded frames and no driver-side state, so the plans hold at 100 TB
+(user_id is high-cardinality ⇒ well-spread hash partitions; AQE
+handles any residual skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.click_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s
+    UNION ALL
+    SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    tier="P2",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: signup → first click at-or-after the
+    signup → first purchase at-or-after that click; one count per
+    stage.
+
+    Each stage is a filtered groupBy(user_id) min, joined to the prior
+    stage on user_id — the per-user stage tables shrink monotonically,
+    every join key is the same, and none of the per-stage tables is
+    broadcast (they grow with user count).  Catalyst reuses the
+    user_id hash partitioning across the chained joins.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(s, "1_signup")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+               AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tier="P2",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by the week of
+    their first event, counted in every later week they were active.
+
+    act is pre-deduplicated to (user, week) so the final count(*) is a
+    distinct-user count without a distinct aggregate; both inputs
+    shuffle on user_id once and the final groupBy keys are
+    low-cardinality (weeks).  Both engines' date_trunc('week') is
+    Monday-start, and the offset division is exact (week-truncated
+    timestamps differ by whole weeks).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# (name, kind) — kind picks which stat slots apply; numeric stats go
+# out as DOUBLE (timestamps via epoch-micros) and string min/max as
+# VARCHAR, so no cross-engine float/timestamp *formatting* ever enters
+# the hashed output.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(MIN({name})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(MAX({name})) AS DOUBLE)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        smn = f"MIN({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        smx = f"MAX({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS col_name,\n"
+            f"       CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,\n"
+            f"       {mn} AS min_num, {mx} AS max_num,\n"
+            f"       {smn} AS min_str, {smx} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_columns", oracle=_profile_oracle(), tier="P2")
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary of the orders table: per column
+    null count, exact distinct count, and typed min/max (numeric stats
+    as DOUBLE — timestamps via epoch-micros — string min/max as
+    VARCHAR), emitted long-form, one row per column.
+
+    All stats compute in a single global aggregate (the multi-distinct
+    expands map-side; at 100 TB you'd swap COUNT(DISTINCT) for
+    approx_count_distinct — see agg_approx_distinct for that sketch),
+    then one explode fans the single row out to long form.  Reading
+    every profiled column is the point of a profiler, so no pruning is
+    expected here.
+    """
+    orders = load(spark, sf_dir, "orders")
+
+    aggs, fields = [], []
+    for name, kind in _PROFILE_COLS:
+        col = F.col(name)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}__nulls")
+        )
+        aggs.append(F.countDistinct(col).alias(f"{name}__distinct"))
+        if kind == "num":
+            mn, mx = F.min(col).cast("double"), F.max(col).cast("double")
+        elif kind == "ts":
+            mn = F.unix_micros(F.min(col)).cast("double")
+            mx = F.unix_micros(F.max(col)).cast("double")
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        smn = F.min(col) if kind == "str" else F.lit(None).cast("string")
+        smx = F.max(col) if kind == "str" else F.lit(None).cast("string")
+        aggs.append(mn.alias(f"{name}__min_num"))
+        aggs.append(mx.alias(f"{name}__max_num"))
+        aggs.append(smn.alias(f"{name}__min_str"))
+        aggs.append(smx.alias(f"{name}__max_str"))
+        fields.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                F.col(f"{name}__min_num").alias("min_num"),
+                F.col(f"{name}__max_num").alias("max_num"),
+                F.col(f"{name}__min_str").alias("min_str"),
+                F.col(f"{name}__max_str").alias("max_str"),
+            )
+        )
+    wide = orders.agg(*aggs)
+    return wide.select(F.explode(F.array(*fields)).alias("p")).select("p.*")

@@ -640,3 +640,34 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_text.alias("chunk_text"),
         F.length(chunk_text).alias("n_chunk_chars"),
     )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_masked,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_masked
+    FROM events
+    """,
+    tier="P1",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: mask every digit run in the free-text
+    payload (events.props) with a placeholder and count the masked
+    spans — the redaction/normalization step of a corpus-cleaning
+    pipeline, shaped exactly like email/phone redaction with a richer
+    pattern list.
+
+    Pure row-local regexp_replace/regexp_count — map-only, no shuffle,
+    stays in whole-stage codegen at any scale.  The pattern is kept to
+    syntax RE2 (DuckDB) and java.util.regex (Spark) interpret
+    identically.
+    """
+    ev = load(spark, sf_dir, "events")
+    pat = "[0-9]+"
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), pat, "<NUM>").alias("props_masked"),
+        F.regexp_count(F.col("props"), F.lit(pat)).cast("int").alias("n_masked"),
+    )

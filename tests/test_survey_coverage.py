@@ -64,6 +64,10 @@ def test_extras_are_intentional():
     extras = set(all_defs()) - SURVEY_KEYS
     assert extras == {
         "dedup_embedding_cosine",
+        "events_funnel",
+        "retention_cohort",
+        "profile_columns",
+        "text_pii_scrub",
         "agg_pivot",
         "agg_unpivot",
         "sample_bernoulli_hash",
