@@ -20,6 +20,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     sinks,
     streaming,
     text,
+    timeseries,
     udfs,
     windows,
 )

@@ -374,3 +374,43 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 5500.0), 19) AS INT)
+               AS price_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {o_money_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tier="P2",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem prices: 20 bins of width
+    5500 from 0, top bin clamped (width_bucket semantics expressed as
+    FLOOR so both dialects share one formula).
+
+    Binning is a row-local projection, so the plan is the canonical
+    partial/final hash agg on a 20-value key — map-side combine
+    collapses everything before the shuffle, which carries at most
+    |bins| x |map partitions| rows at any input scale.  FLOOR of a
+    double division over identical operands is bit-exact across
+    engines (exprs.py rule 2) — no boundary risk at bin edges.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    bin_col = (
+        F.least(F.floor(F.col("l_extendedprice") / F.lit(5500.0)), F.lit(19))
+        .cast("int")
+        .alias("price_bin")
+    )
+    return (
+        lineitem.select(bin_col, "l_extendedprice")
+        .groupBy("price_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("l_extendedprice").alias("sum_price"),
+        )
+    )

@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
+# Worker-side callables in this module are shipped pickled BY VALUE, so
+# executors never need this package importable (the external driver's
+# cwd / PYTHONPATH is not ours to control — found via an sf0.1 sweep run
+# from a foreign cwd, where every worker raised ModuleNotFoundError).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 _FEATURE_SCHEMA = (
     "doc_id BIGINT, mime STRING, n_bytes BIGINT, first_byte INT, checksum BIGINT"
 )

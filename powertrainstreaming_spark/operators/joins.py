@@ -411,3 +411,72 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("sum_value"),
     )
+
+
+@query(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id * 11 AS key, value FROM latest WHERE rn = 1
+    ),
+    base AS (
+        SELECT c_custkey AS key, c_name, c_acctbal FROM customer
+    )
+    SELECT COALESCE(b.key, c.key) AS key,
+           COALESCE(b.c_name, 'new:' || CAST(c.key AS VARCHAR)) AS name,
+           COALESCE(c.value, b.c_acctbal) AS acctbal,
+           CASE WHEN c.key IS NULL THEN 'keep'
+                WHEN b.key IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c ON b.key = c.key
+    """,
+    tier="P2",
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC upsert), latest-change-wins: the newest event
+    per user is a change record (key synthesized as user_id*11 so the
+    feed exercises BOTH matched-update and unmatched-insert at every
+    scale factor); applied to the customer base with per-row action
+    tags keep/update/insert.
+
+    Spark-first MERGE: dedupe the change feed to latest-per-key with
+    one row_number window (shuffle on user_id), then a single
+    full-outer shuffle join against the base — the same plan Delta
+    Lake's MERGE lowers to.  Neither side is broadcast (both grow with
+    scale); the window's partition key IS the join key, so AQE can
+    reuse the exchange.  At 100 TB the base would be bucketed by key,
+    turning the merge into a zero-shuffle sort-merge per bucket (see
+    sink_bucketed_join for the executable pattern).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    changes = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select((F.col("user_id") * F.lit(11)).alias("key"), "value")
+    )
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_name", "c_acctbal"
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.key") == F.col("c.key"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("b.key"), F.col("c.key")).alias("key"),
+        F.coalesce(
+            F.col("c_name"),
+            F.concat(F.lit("new:"), F.col("c.key").cast("string")),
+        ).alias("name"),
+        F.coalesce(F.col("value"), F.col("c_acctbal")).alias("acctbal"),
+        F.when(F.col("c.key").isNull(), "keep")
+        .when(F.col("b.key").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+    )

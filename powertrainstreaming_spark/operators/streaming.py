@@ -31,6 +31,16 @@ from powertrainstreaming_spark.session import ensure_session_confs
 from powertrainstreaming_spark.sources.loaders import TABLE_DDL, load, table_path
 from powertrainstreaming_spark.streaming.harness import events_stream, run_bounded
 
+# Worker-side callables in this module are shipped pickled BY VALUE, so
+# executors never need this package importable (the external driver's
+# cwd / PYTHONPATH is not ours to control — found via an sf0.1 sweep run
+# from a foreign cwd, where every worker raised ModuleNotFoundError).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 _TUMBLING_ORACLE = f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -32,6 +32,16 @@ from pyspark.sql.types import DoubleType, LongType, StringType
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
+# Worker-side callables in this module are shipped pickled BY VALUE, so
+# executors never need this package importable (the external driver's
+# cwd / PYTHONPATH is not ours to control — found via an sf0.1 sweep run
+# from a foreign cwd, where every worker raised ModuleNotFoundError).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 # ---------------------------------------------------------------------------
 # Plain Python scalar UDF
 

@@ -64,6 +64,10 @@ def test_extras_are_intentional():
     extras = set(all_defs()) - SURVEY_KEYS
     assert extras == {
         "dedup_embedding_cosine",
+        "agg_histogram",
+        "merge_upsert_cdc",
+        "ts_gapfill_locf",
+        "ts_anomaly_zscore",
         "events_funnel",
         "retention_cohort",
         "profile_columns",
