@@ -8,6 +8,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     binary_media,
+    corpus,
     dedup,
     filters,
     joins,

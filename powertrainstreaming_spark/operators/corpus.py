@@ -1,0 +1,377 @@
+"""Corpus-curation operators for LLM training-data pipelines (engine
+extensions, SURVEY.md §2.12).
+
+Beyond dedup/similarity (operators/dedup.py, similarity.py) a corpus
+pipeline needs the curation layer: benchmark decontamination,
+reproducible train/holdout splitting, sequence packing into fixed
+context windows, repetition-based quality gates, and mixture
+reweighting across languages/sources.  Every operator here is a pure
+DataFrame composition — no Python UDFs — and every ratio is built from
+identical-operand integer arithmetic so the DuckDB oracle hash-matches
+without rounding (functions/exprs.py rule 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.functions.exprs import POLY_M
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: word-trigram overlap vs a held-out eval set
+
+_EVAL_MOD = 37  # doc_id % 37 == 0 -> the synthetic "benchmark" slice
+_DECONTAM_TAU = 0.05  # flag a training doc when >=5% of its trigrams hit
+
+_DECONTAM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   AS shingle
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_EVAL_MOD} != 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(ev.shingle) AS BIGINT) AS n_hit,
+           CAST(COUNT(ev.shingle) AS DOUBLE) / COUNT(*) AS hit_ratio,
+           CAST(COUNT(ev.shingle) AS DOUBLE) / COUNT(*) >= {_DECONTAM_TAU}
+               AS contaminated
+    FROM tr LEFT JOIN ev USING (shingle)
+    GROUP BY tr.doc_id
+    """
+
+
+def _word_trigrams(tokens):
+    """Distinct word trigrams of a token array, [] when under 3 tokens."""
+    n = F.size(tokens)
+    k = F.greatest(n - 2, F.lit(0))
+    first = F.slice(tokens, 1, k)
+    second = F.slice(tokens, 2, k)
+    third = F.slice(tokens, 3, k)
+    tail = F.zip_with(second, third, lambda b, c: F.concat(b, F.lit(" "), c))
+    return F.array_distinct(
+        F.zip_with(first, tail, lambda a, bc: F.concat(a, F.lit(" "), bc))
+    )
+
+
+@query("corpus_decontam_ngram", oracle=_DECONTAM_ORACLE, tier="P2")
+def corpus_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct word trigrams that appear anywhere in the eval slice
+    (``doc_id % 37 == 0`` stands in for a benchmark suite), with a
+    >=5% contamination flag.
+
+    Plan shape: one pass shingles every doc (explode of a per-row
+    array — map-only), the eval side collapses to DISTINCT shingles,
+    and the hit test is an inverted-index equi-join on the shingle
+    string followed by a per-doc count — never a doc x doc product.
+    The fixture eval slice grows with scale factor, so the join stays
+    a shuffle join here; against a real fixed-size benchmark suite the
+    eval shingle set is bounded and Spark would broadcast it, making
+    decontamination a map-only scan at 100 TB.  ``hit_ratio`` divides
+    two counts both engines compute identically — unrounded per
+    exprs.py rule 2.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(_word_trigrams(F.split(F.col("text"), " "))).alias("shingle"),
+    )
+    eval_sh = (
+        shingles.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_sh = shingles.where(F.col("doc_id") % _EVAL_MOD != 0)
+    joined = train_sh.join(eval_sh, "shingle", "left")
+    ratio = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            ratio.alias("hit_ratio"),
+            (ratio >= _DECONTAM_TAU).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified train/val/test split report
+
+_MIX_A = 2654435761  # Knuth multiplicative constant (also sampling.py)
+_TRAIN_PCT = 80
+_VAL_PCT = 90  # [80, 90) -> val, [90, 100) -> test
+
+_SPLIT_EXPR = f"((doc_id % {POLY_M}) * {_MIX_A}) % {POLY_M} % 100"
+
+_SPLIT_ORACLE = f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_SPLIT_EXPR} < {_TRAIN_PCT} THEN 'train'
+                    WHEN {_SPLIT_EXPR} < {_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY 1, 2
+    )
+    SELECT lang, split, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / SUM(n_docs) OVER (PARTITION BY lang) AS lang_share
+    FROM counts
+    """
+
+
+@query("split_train_holdout", oracle=_SPLIT_ORACLE, tier="P2")
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment keyed on a
+    doc_id hash, reported as per-language counts and within-language
+    shares (the stratification audit a split job must emit).
+
+    The assignment is a pure row-local int64 expression — same rows
+    land in the same split on any engine, any partitioning, any rerun
+    (sampling.py's auditability argument).  The report is a partial/
+    final hash agg on a (lang, split) key of bounded cardinality plus
+    one window over that tiny aggregate; the raw corpus is scanned
+    exactly once, map-only, at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % POLY_M) * F.lit(_MIX_A).cast("bigint")) % POLY_M % 100
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < _TRAIN_PCT, "train")
+        .when(bucket < _VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    counts = assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "lang_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed token windows
+
+_PACK_BUDGET = 512  # tokens per context window
+
+_PACK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    off AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS tok_offset
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tok, tok_offset,
+           CAST(FLOOR(CAST(tok_offset AS DOUBLE) / {_PACK_BUDGET}.0)
+                AS BIGINT) AS pack_first,
+           CAST(FLOOR(CAST(tok_offset + n_tok - 1 AS DOUBLE)
+                      / {_PACK_BUDGET}.0) AS BIGINT) AS pack_last,
+           CAST(FLOOR(CAST(tok_offset + n_tok - 1 AS DOUBLE)
+                      / {_PACK_BUDGET}.0) AS BIGINT)
+               > CAST(FLOOR(CAST(tok_offset AS DOUBLE) / {_PACK_BUDGET}.0)
+                      AS BIGINT) AS straddles
+    FROM off
+    """
+
+
+@query("pack_concat_chunks", oracle=_PACK_ORACLE, tier="P2")
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language, documents are
+    concatenated in doc_id order and cut into fixed 512-token context
+    windows; each doc gets its token offset and the first/last window
+    it lands in, plus a boundary-straddle flag.
+
+    This is the packing LLM trainers actually use (concatenate, then
+    split at the window boundary) — not bin-packing, so it's
+    expressible as one exclusive-prefix running sum per language: a
+    single shuffle on ``lang``, then an ordered window.  At 100 TB a
+    global per-language cumsum would serialize; production packs per
+    (lang, shard) independently — the same plan with a composite
+    partition key — accepting window-boundary waste only at shard
+    seams.  Window ids come from a FLOOR-of-double shared formula:
+    exact for any offset under 2^53, bit-identical across engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.withColumn(
+        "tok_offset",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint")),
+    )
+    first = F.floor(
+        F.col("tok_offset").cast("double") / float(_PACK_BUDGET)
+    ).cast("bigint")
+    last = F.floor(
+        (F.col("tok_offset") + F.col("n_tok") - 1).cast("double")
+        / float(_PACK_BUDGET)
+    ).cast("bigint")
+    return off.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "tok_offset",
+        first.alias("pack_first"),
+        last.alias("pack_last"),
+        (last > first).alias("straddles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality gate (Gopher-style)
+
+_REP_DUP_TAU = 0.80  # duplicate-token fraction gate
+_REP_TOP_TAU = 0.10  # single-token dominance gate
+
+_REPETITION_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_ratio,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_token_ratio,
+           (CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) > {_REP_DUP_TAU}
+            OR CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > {_REP_TOP_TAU})
+               AS flagged
+    FROM tf GROUP BY doc_id
+    """
+
+
+@query("text_repetition_ratio", oracle=_REPETITION_ORACLE, tier="P2")
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per doc, the duplicate-token
+    fraction and the most-frequent-token share, flagged when either
+    exceeds its threshold (boilerplate / degenerate-generation
+    detector that complements text_quality_score's surface features).
+
+    Two-level aggregation — (doc, token) term frequencies, then a
+    per-doc rollup — so the shuffle carries term-frequency partials,
+    never raw token instances, and both levels are partial/final hash
+    aggs.  The (doc_id, token) key inherits the doc partitioning, so
+    AQE coalesces the second exchange.  Ratios are identical-operand
+    int divisions — unrounded per exprs.py rule 2.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt")
+    dup = (n - F.count(F.lit(1))).cast("double") / n
+    top = F.max("cnt").cast("double") / n
+    return tf.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dup.alias("dup_ratio"),
+        top.alias("top_token_ratio"),
+        ((dup > _REP_DUP_TAU) | (top > _REP_TOP_TAU)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture reweighting across languages
+
+_MIXTURE_ORACLE = """
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    totals AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / tot_docs AS corpus_share,
+           CAST(tot_docs AS DOUBLE) / (n_langs * n_docs) AS uniform_weight
+    FROM per_lang, totals
+    """
+
+
+@query("corpus_mixture_weights", oracle=_MIXTURE_ORACLE, tier="P2")
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mixture report: doc/token counts, the
+    language's share of the corpus, and the sampling weight that would
+    rebalance training to a uniform language mixture
+    (``weight_l = (1/K) / share_l``) — the number a data-mixing job
+    multiplies into per-document sampling probabilities.
+
+    One partial/final agg to a |langs|-row table, then a single-row
+    grand total joined back — the total is one row at ANY scale, so
+    the broadcast is bounded (unlike dimension tables, which the
+    CLAUDE.md rule rightly forbids broadcasting).  All ratios are
+    identical-operand divisions of exact ints — unrounded.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    totals = per_lang.agg(
+        F.sum("n_docs").cast("bigint").alias("tot_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per_lang.join(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("tot_docs")).alias(
+            "corpus_share"
+        ),
+        (
+            F.col("tot_docs").cast("double")
+            / (F.col("n_langs") * F.col("n_docs"))
+        ).alias("uniform_weight"),
+    )

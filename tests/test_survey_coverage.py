@@ -64,6 +64,11 @@ def test_extras_are_intentional():
     extras = set(all_defs()) - SURVEY_KEYS
     assert extras == {
         "dedup_embedding_cosine",
+        "corpus_decontam_ngram",
+        "split_train_holdout",
+        "pack_concat_chunks",
+        "text_repetition_ratio",
+        "corpus_mixture_weights",
         "agg_histogram",
         "merge_upsert_cdc",
         "ts_gapfill_locf",
