@@ -103,3 +103,26 @@ def test_near_dedup_join_is_blocked_never_cartesian(spark):
     plan = _plan(all_defs()["dedup_near_exact"].fn(spark, SF), "simple", final=True)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontam_join_is_inverted_index_never_cartesian(spark):
+    """Decontamination must hit the eval set through an equi-join on
+    the shingle string (inverted index), never a doc x doc product."""
+    plan = _plan(
+        all_defs()["corpus_decontam_ngram"].fn(spark, SF), "simple", final=True
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_audit_scans_corpus_once_map_only(spark):
+    """The split assignment is a row-local expression: exactly one
+    parquet scan of documents, and the only wide exchange is the
+    bounded (lang, split) aggregation."""
+    plan = _plan(all_defs()["split_train_holdout"].fn(spark, SF), "simple", final=True)
+    # AQE's explain repeats the plan (Final + Initial sections); count
+    # scans within the executed Final Plan only.
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert final_section.count("Scan parquet") == 1
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema  # assignment never reads the payload
