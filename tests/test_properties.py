@@ -231,3 +231,76 @@ def test_simhash_deterministic_and_text_keyed(spark):
     a = {(r.doc_id, r.simhash) for r in text_fingerprint(spark, sf).collect()}
     b = {(r.doc_id, r.simhash) for r in text_fingerprint(spark, sf).collect()}
     assert a == b and len(a) == 500
+
+
+def test_pack_offsets_are_contiguous_per_lang(spark):
+    """Within a language, each doc's token offset equals the previous
+    doc's offset + length (the packing is gap-free), and every doc's
+    window span is well-formed."""
+    from powertrainstreaming_spark.operators.corpus import pack_concat_chunks
+
+    rows = pack_concat_chunks(spark, SF).orderBy("lang", "doc_id").collect()
+    prev = {}
+    for r in rows:
+        expect = prev.get(r.lang, 0)
+        assert r.tok_offset == expect, (r.lang, r.doc_id)
+        assert r.pack_first <= r.pack_last
+        assert r.straddles == (r.pack_last > r.pack_first)
+        prev[r.lang] = r.tok_offset + r.n_tok
+
+
+def test_split_shares_sum_to_one_and_cover_corpus(spark):
+    """Per-language shares sum to 1 and the split counts add back up
+    to the corpus row count."""
+    from powertrainstreaming_spark.operators.corpus import split_train_holdout
+
+    rows = split_train_holdout(spark, SF).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r.lang_share for r in rs) - 1.0) < 1e-12, lang
+    n_total = sum(r.n_docs for r in rows)
+    assert n_total == load(spark, SF, "documents").count()
+
+
+def test_mixture_weights_rebalance_to_uniform(spark):
+    """corpus_share sums to 1 and weight_l * share_l == 1/K for every
+    language — the defining property of the uniform-rebalance weight."""
+    from powertrainstreaming_spark.operators.corpus import corpus_mixture_weights
+
+    rows = corpus_mixture_weights(spark, SF).collect()
+    k = len(rows)
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert abs(r.uniform_weight * r.corpus_share - 1.0 / k) < 1e-12
+
+
+def test_decontam_never_reports_eval_docs(spark):
+    """The contamination report covers only training docs (doc_id % 37
+    != 0) and its ratios are valid probabilities."""
+    from powertrainstreaming_spark.operators.corpus import (
+        _EVAL_MOD,
+        corpus_decontam_ngram,
+    )
+
+    rows = corpus_decontam_ngram(spark, SF).collect()
+    assert rows, "empty contamination report"
+    for r in rows:
+        assert r.doc_id % _EVAL_MOD != 0
+        assert 0 <= r.n_hit <= r.n_shingles
+        assert abs(r.hit_ratio - r.n_hit / r.n_shingles) < 1e-15
+
+
+def test_repetition_ratios_are_consistent(spark):
+    """dup_ratio and top_token_ratio derive from the same counts the
+    row reports, and respect their [0, 1) / (0, 1] ranges."""
+    from powertrainstreaming_spark.operators.corpus import text_repetition_ratio
+
+    rows = text_repetition_ratio(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_tokens
+        assert abs(r.dup_ratio - (r.n_tokens - r.n_distinct) / r.n_tokens) < 1e-15
+        assert 0 < r.top_token_ratio <= 1.0
