@@ -317,6 +317,153 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation composite: repetition gate -> exact dedup ->
+# decontamination -> split assignment -> per-(lang, split) budget
+
+_CURATE_ORACLE = f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+        WHERE doc_id % {_EVAL_MOD} != 0
+          AND CAST(len(string_split(text, ' '))
+                   - len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) <= {_REP_DUP_TAU}
+    ),
+    survivors AS (
+        SELECT arg_min(doc_id, doc_id) AS doc_id, text,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(n_tok, doc_id) AS n_tok
+        FROM gated GROUP BY text
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS t FROM survivors),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   AS shingle
+        FROM t
+    ),
+    ev AS (
+        SELECT DISTINCT
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   AS shingle
+        FROM (SELECT string_split(text, ' ') AS t FROM documents
+              WHERE doc_id % {_EVAL_MOD} = 0)
+    ),
+    hits AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(COUNT(ev.shingle) AS BIGINT) AS n_hit
+        FROM sh LEFT JOIN ev USING (shingle)
+        GROUP BY sh.doc_id
+    ),
+    clean AS (
+        SELECT s.doc_id, s.lang, s.n_tok
+        FROM survivors s LEFT JOIN hits h USING (doc_id)
+        WHERE COALESCE(CAST(h.n_hit AS DOUBLE) / h.n_sh, 0.0)
+              < {_DECONTAM_TAU}
+    )
+    SELECT lang,
+           CASE WHEN {_SPLIT_EXPR} < {_TRAIN_PCT} THEN 'train'
+                WHEN {_SPLIT_EXPR} < {_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY 1, 2
+    """
+
+
+@query("pipeline_corpus_curate", oracle=_CURATE_ORACLE, tier="P1")
+def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus CURATION — the sequel to
+    pipeline_corpus_clean, composing this module's stages in one
+    declarative lineage:
+
+      1. REPETITION GATE — map-only (dup-token fraction from array
+         size vs distinct size; no explode, no shuffle), which also
+         excludes the eval slice from the training corpus.
+      2. EXACT DEDUP     — one hash-group on text, min-id-wins.
+      3. DECONTAMINATION — trigram inverted-index join vs the eval
+         slice's shingle set; zero-shingle docs are kept (a doc with
+         no trigrams can't be contaminated).
+      4. SPLIT + BUDGET  — hash-keyed train/val/test assignment and
+         the per-(lang, split) doc/token budget a training job
+         consumes.
+
+    Catalyst pipelines stage 1 into the dedup scan (no intermediate
+    materialization); total cost is one shuffle on text, one
+    inverted-index join, and one bounded-key agg — each individually
+    audited for 100 TB in its standalone operator.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("bigint")
+    dup_ratio = (n - F.size(F.array_distinct(toks)).cast("bigint")).cast(
+        "double"
+    ) / n
+    gated = docs.filter(
+        (F.col("doc_id") % _EVAL_MOD != 0) & (dup_ratio <= _REP_DUP_TAU)
+    ).select("doc_id", "text", "lang", n.alias("n_tok"))
+
+    survivors = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tok", "doc_id").alias("n_tok"),
+    )
+
+    sh = survivors.select(
+        "doc_id",
+        F.explode(_word_trigrams(F.split(F.col("text"), " "))).alias("shingle"),
+    )
+    eval_sh = (
+        docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(
+            F.explode(_word_trigrams(F.split(F.col("text"), " "))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        sh.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    clean = survivors.join(hits, "doc_id", "left").filter(
+        F.coalesce(
+            F.col("n_hit").cast("double") / F.col("n_sh"), F.lit(0.0)
+        )
+        < _DECONTAM_TAU
+    )
+
+    bucket = (
+        (F.col("doc_id") % POLY_M) * F.lit(_MIX_A).cast("bigint")
+    ) % POLY_M % 100
+    return (
+        clean.select(
+            "lang",
+            "n_tok",
+            F.when(bucket < _TRAIN_PCT, "train")
+            .when(bucket < _VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select("lang", "split", "n_docs", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mixture reweighting across languages
 
 _MIXTURE_ORACLE = """

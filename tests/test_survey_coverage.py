@@ -69,6 +69,7 @@ def test_extras_are_intentional():
         "pack_concat_chunks",
         "text_repetition_ratio",
         "corpus_mixture_weights",
+        "pipeline_corpus_curate",
         "agg_histogram",
         "merge_upsert_cdc",
         "ts_gapfill_locf",
