@@ -414,3 +414,25 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@query("agg_approx_quantile", oracle=None, tier="P2")
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group percentiles via Spark's KLL-style
+    quantile sketch (rows-only check: sketch internals differ from
+    DuckDB's).  This is the 100 TB quantile path — the sketch merges
+    associatively in constant memory per group, so the shuffle carries
+    one small sketch per (group, map partition) instead of the full
+    value distribution that exact percentile() must sort.  Accuracy is
+    rank-error-bounded (1/accuracy); the bound is asserted against the
+    exact twin in tests/test_properties.py.
+    """
+    orders = load(spark, sf_dir, "orders")
+    pq = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        pq.getItem(0).alias("approx_median"),
+        pq.getItem(1).alias("approx_p95"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -304,3 +304,28 @@ def test_repetition_ratios_are_consistent(spark):
         assert 1 <= r.n_distinct <= r.n_tokens
         assert abs(r.dup_ratio - (r.n_tokens - r.n_distinct) / r.n_tokens) < 1e-15
         assert 0 < r.top_token_ratio <= 1.0
+
+
+def test_approx_quantile_within_rank_error_of_exact(spark):
+    """The sketch's rank error is <= 1/accuracy = 0.1%: each approx
+    percentile must land between the exact percentiles one rank-error
+    band on either side of the target."""
+    from powertrainstreaming_spark.operators.aggregates import (
+        agg_approx_quantile,
+        agg_median_percentile,
+    )
+
+    eps = 1.0 / 1000 + 1e-9
+    exact_bounds = {}
+    orders = load(spark, SF, "orders")
+    for row in orders.groupBy("o_orderstatus").agg(
+        F.expr(f"percentile(o_totalprice, {0.5 - eps})").alias("m_lo"),
+        F.expr(f"percentile(o_totalprice, {0.5 + eps})").alias("m_hi"),
+        F.expr(f"percentile(o_totalprice, {0.95 - eps})").alias("p_lo"),
+        F.expr(f"percentile(o_totalprice, {0.95 + eps})").alias("p_hi"),
+    ).collect():
+        exact_bounds[row.o_orderstatus] = row
+    for r in agg_approx_quantile(spark, SF).collect():
+        b = exact_bounds[r.o_orderstatus]
+        assert b.m_lo <= r.approx_median <= b.m_hi, r.o_orderstatus
+        assert b.p_lo <= r.approx_p95 <= b.p_hi, r.o_orderstatus

@@ -70,6 +70,7 @@ def test_extras_are_intentional():
         "text_repetition_ratio",
         "corpus_mixture_weights",
         "pipeline_corpus_curate",
+        "agg_approx_quantile",
         "agg_histogram",
         "merge_upsert_cdc",
         "ts_gapfill_locf",
