@@ -13,6 +13,8 @@ point at partitioned table roots instead of single files.
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,9 +22,11 @@ from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.session import ensure_session_confs
 
-# Explicit read schemas (FIXTURES.md "Spark DDL").  events.ts is read as
-# BIGINT via spark.sql.legacy.parquet.nanosAsLong=true and converted to
-# a microsecond TIMESTAMP below (SURVEY.md §7.5 gotcha #1).
+# Explicit read schemas (FIXTURES.md "Spark DDL").  events.ts has shipped
+# in two parquet encodings across fixture generations: TIMESTAMP(NANOS)
+# (round 1) and TIMESTAMP(MICROS) (round 2+).  ``events_ddl`` /
+# ``shim_events_ts`` below probe the parquet footer and adapt, so the
+# engine reads both without code changes (SURVEY.md §7.5 gotcha #1).
 TABLE_DDL: dict[str, str] = {
     "region": "r_regionkey INT, r_name STRING",
     "nation": "n_nationkey INT, n_name STRING, n_regionkey INT",
@@ -60,21 +64,59 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with its asserted schema.
-
-    ``events.ts``: parquet TIMESTAMP(NANOS) → int64 nanos → truncating
-    integer `div 1000` → timestamp_micros.  Truncation (not rounding)
-    matches DuckDB's ns→µs read path; the fixtures carry sub-µs
-    remainders up to 999 ns, so rounding would diverge (SURVEY §7.5 #1).
+@functools.lru_cache(maxsize=256)
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet at ``path`` stores ``ts`` as
+    TIMESTAMP(NANOS).  ``path`` may be the parquet file itself or a
+    directory of staged copies (streaming scratch dirs); only the footer
+    is read, and the result is cached — fixtures are immutable in-session.
     """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not candidates:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+        path = candidates[0]
+    return str(pq.read_schema(path).field("ts").type).startswith("timestamp[ns")
+
+
+def events_ddl(path: str) -> str:
+    """Read schema for the events table at ``path``: nanos-encoded files
+    surface ``ts`` as BIGINT (via spark.sql.legacy.parquet.nanosAsLong)
+    for the explicit div-1000 shim; micros-encoded files read natively.
+    """
+    ts_type = "BIGINT" if events_ts_is_nanos(path) else "TIMESTAMP"
+    return (
+        f"event_id BIGINT, ts {ts_type}, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+
+
+def shim_events_ts(df: DataFrame, path: str) -> DataFrame:
+    """Normalize ``ts`` to a microsecond TIMESTAMP.
+
+    Nanos files: int64 nanos → truncating integer `div 1000` →
+    timestamp_micros.  Truncation (not rounding) matches DuckDB's ns→µs
+    read path; nanos fixtures carry sub-µs remainders up to 999 ns, so
+    rounding would diverge (SURVEY §7.5 #1).  Micros files are already
+    microsecond timestamps — no-op.
+    """
+    if events_ts_is_nanos(path):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its asserted schema."""
     if name not in TABLE_DDL:
         raise KeyError(f"unknown table {name!r}; know {sorted(TABLE_DDL)}")
     ensure_session_confs(spark)
-    df = spark.read.schema(TABLE_DDL[name]).parquet(table_path(sf_dir, name))
+    path = table_path(sf_dir, name)
     if name == "events":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+        df = spark.read.schema(events_ddl(path)).parquet(path)
+        return shim_events_ts(df, path)
+    return spark.read.schema(TABLE_DDL[name]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

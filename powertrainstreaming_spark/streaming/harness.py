@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.session import ensure_session_confs
-from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+from powertrainstreaming_spark.sources.loaders import (
+    events_ddl,
+    shim_events_ts,
+    table_path,
+)
 
 _MEMORY_SINK_COUNTER = itertools.count()
 
@@ -32,18 +36,19 @@ _MEMORY_SINK_COUNTER = itertools.count()
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a *streaming* DataFrame (file source).
 
-    Same schema assertion and nanos→micros shim as the batch loader,
+    Same schema assertion and footer-probed ts shim as the batch loader,
     so streaming and batch twins see identical rows.
     """
     ensure_session_confs(spark)
+    path = table_path(sf_dir, "events")
     # The file stream source needs a *directory*; pathGlobFilter picks
     # out the events file from the shared fixture dir.
     sdf = (
-        spark.readStream.schema(TABLE_DDL["events"])
+        spark.readStream.schema(events_ddl(path))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return shim_events_ts(sdf, path)
 
 
 def run_bounded(
