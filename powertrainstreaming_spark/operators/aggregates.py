@@ -248,7 +248,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           list_sort(array_agg(o_orderkey)) AS order_keys
+           array_to_string(list_sort(array_agg(o_orderkey)), ',') AS order_keys
     FROM orders
     WHERE o_totalprice > 350000
     GROUP BY o_custkey
@@ -258,12 +258,17 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer sorted list of big-order keys.  collect_list order
     is nondeterministic under parallelism — array_sort makes the value
-    canonical (determinism contract §5.3 rule 4).  Both engines render
-    BIGINT lists identically in their fetch paths."""
+    canonical (determinism contract §5.3 rule 4).  The list is emitted
+    in a canonical comma-joined string rendering: raw ARRAY columns are
+    unhashable in the cross-engine compare harness (pandas sort_values
+    cannot factorize list cells — observed in the round-2 driver run),
+    and the string form pins element order AND rendering in one value."""
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
     return orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
     )
 
 

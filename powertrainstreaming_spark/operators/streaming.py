@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.session import ensure_session_confs
-from powertrainstreaming_spark.sources.loaders import TABLE_DDL, load, table_path
+from powertrainstreaming_spark.sources.loaders import (
+    events_ddl,
+    load,
+    shim_events_ts,
+    table_path,
+)
 from powertrainstreaming_spark.streaming.harness import events_stream, run_bounded
 
 # Worker-side callables in this module are shipped pickled BY VALUE, so
@@ -356,14 +361,16 @@ def _stage_events_split(sf_dir: str) -> str:
 
 def _staged_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
     """Streaming DF over a staged scratch dir, one file per micro-batch,
-    with the same schema assertion + nanos shim as events_stream."""
+    with the same footer-probed schema + ts shim as events_stream (the
+    staged copies inherit whatever ts encoding the fixture generation
+    shipped, so the shim must probe, not assume)."""
     ensure_session_confs(spark)
-    return (
-        spark.readStream.schema(TABLE_DDL["events"])
+    sdf = (
+        spark.readStream.schema(events_ddl(stage_dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(stage_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    return shim_events_ts(sdf, stage_dir)
 
 
 @query(

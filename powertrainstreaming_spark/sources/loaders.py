@@ -68,8 +68,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def events_ts_is_nanos(path: str) -> bool:
     """True when the events parquet at ``path`` stores ``ts`` as
     TIMESTAMP(NANOS).  ``path`` may be the parquet file itself or a
-    directory of staged copies (streaming scratch dirs); only the footer
-    is read, and the result is cached — fixtures are immutable in-session.
+    directory of staged copies (streaming scratch dirs); only footers
+    are read, and the result is cached — fixtures are immutable
+    in-session.  A directory mixing nanos and micros files is an error:
+    one shim cannot be correct for both halves, so refuse loudly rather
+    than silently corrupting half the rows.
     """
     import pyarrow.parquet as pq
 
@@ -77,8 +80,18 @@ def events_ts_is_nanos(path: str) -> bool:
         candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not candidates:
             raise FileNotFoundError(f"no parquet files under {path!r}")
-        path = candidates[0]
-    return str(pq.read_schema(path).field("ts").type).startswith("timestamp[ns")
+    else:
+        candidates = [path]
+    verdicts = {
+        f: str(pq.read_schema(f).field("ts").type).startswith("timestamp[ns")
+        for f in candidates
+    }
+    if len(set(verdicts.values())) > 1:
+        raise ValueError(
+            f"mixed ts encodings under {path!r}: {verdicts} — stage dirs "
+            "must be encoding-homogeneous"
+        )
+    return next(iter(verdicts.values()))
 
 
 def events_ddl(path: str) -> str:

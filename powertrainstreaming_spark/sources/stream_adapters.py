@@ -16,8 +16,6 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from powertrainstreaming_spark.sources.loaders import TABLE_DDL
-
 
 class StreamSourceAdapter(Protocol):
     """A source of the typed telemetry stream."""
@@ -56,6 +54,11 @@ class KafkaSourceAdapter:
     topic: str
     starting_offsets: str = "earliest"
     options: dict[str, str] = field(default_factory=dict)
+    # Payload contract: `ts` in the JSON is an epoch integer in this
+    # unit.  Standardized on micros (matching the batch loader's
+    # normalized TIMESTAMP); producers still emitting nanos set 'nanos'
+    # and get the same truncating div-1000 shim as nanos parquet files.
+    ts_unit: str = "micros"
 
     def stream(self, spark: SparkSession) -> DataFrame:
         try:
@@ -75,10 +78,19 @@ class KafkaSourceAdapter:
                 "FileReplayAdapter for bounded replay, or submit with "
                 "--packages org.apache.spark:spark-sql-kafka-0-10_2.13."
             ) from exc
+        if self.ts_unit not in ("micros", "nanos"):
+            raise ValueError(f"ts_unit must be 'micros' or 'nanos', got {self.ts_unit!r}")
+        payload_ddl = (
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING"
+        )
         parsed = raw.select(
-            F.from_json(F.col("value").cast("string"), TABLE_DDL["events"]).alias("e")
+            F.from_json(F.col("value").cast("string"), payload_ddl).alias("e")
         ).select("e.*")
-        return parsed.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        shim = "timestamp_micros(ts div 1000)" if self.ts_unit == "nanos" else (
+            "timestamp_micros(ts)"
+        )
+        return parsed.withColumn("ts", F.expr(shim))
 
 
 def get_adapter(kind: str, **kwargs) -> StreamSourceAdapter:

@@ -21,7 +21,6 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.session import ensure_session_confs
 from powertrainstreaming_spark.sources.loaders import (

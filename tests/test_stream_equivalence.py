@@ -48,10 +48,13 @@ def test_foreachbatch_checkpoint_restart_exactly_once(spark, tmp_path):
     import os
 
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
 
     from powertrainstreaming_spark.session import ensure_session_confs
-    from powertrainstreaming_spark.sources.loaders import TABLE_DDL, table_path
+    from powertrainstreaming_spark.sources.loaders import (
+        events_ddl,
+        shim_events_ts,
+        table_path,
+    )
 
     ensure_session_confs(spark)
     table = pq.read_table(table_path(SF, "events"))
@@ -62,12 +65,9 @@ def test_foreachbatch_checkpoint_restart_exactly_once(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def run_stream() -> None:
-        sdf = (
-            spark.readStream.schema(TABLE_DDL["events"])
-            .parquet(stage)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .select("event_id", "user_id", "event_type", "value")
-        )
+        sdf = shim_events_ts(
+            spark.readStream.schema(events_ddl(stage)).parquet(stage), stage
+        ).select("event_id", "user_id", "event_type", "value")
 
         def write_batch(batch_df, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out)
