@@ -12,6 +12,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    maintenance,
     multimodal,
     scalar_fns,
     scans,

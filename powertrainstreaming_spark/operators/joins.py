@@ -480,3 +480,91 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter prefilter (the 100 TB selective-dim join pattern)
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set runtime SQL confs, restore previous values on exit — a query
+    function must never leak conf changes into the shared session."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+_BLOOM_CONFS = {
+    # Inject a bloom filter built from the filtered creation side into
+    # the application side's scan, pre-shuffle.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Fixture files are MBs, production thresholds are GBs — lower the
+    # application-side floor so the local plan exercises the same
+    # injection a 100 TB fact scan gets by default.
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Force the shuffle join: with a broadcast join the filter is
+    # redundant (the hash table itself prefilters).
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_BLOOM_BRAND = "Brand#19"  # present at every fixture SF
+
+
+def _bloom_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == _BLOOM_BRAND)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle=f"""
+    SELECT p_brand, p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = '{_BLOOM_BRAND}'
+    GROUP BY p_brand, p_type
+    """,
+    tier="P2",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim ⋈ fact with a RUNTIME BLOOM FILTER: Catalyst builds
+    a bloom filter from the filtered part side and injects
+    ``might_contain`` into the lineitem scan, so non-matching fact rows
+    are dropped BEFORE the shuffle (tests/test_properties.py asserts
+    BloomFilterMightContain in the physical plan).
+
+    This is the decisive 100 TB join optimization after pushdown and
+    broadcast: a 1%-selective dim filter means 99% of the fact shuffle
+    is wasted without the runtime filter.  The result is exact — the
+    bloom only prefilters (false positives still join-checked) — so the
+    oracle is the plain join.  Confs are scoped-and-restored; the
+    result is materialized inside the scope because the optimizer runs
+    at action time, not plan-build time.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pts_bloom_join_")
+    with _scoped_confs(spark, _BLOOM_CONFS):
+        _bloom_join_df(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "p_brand", "p_type", "n_items", "revenue"
+    )

@@ -1,0 +1,137 @@
+"""Table-maintenance operators — partitioned layout + small-file
+compaction (SURVEY.md §2.12 engine extensions).
+
+A 100 TB corpus is only queryable at interactive cost if its physical
+layout cooperates: hive-partitioned directories let scans prune whole
+partitions before reading a byte, and periodic compaction keeps file
+counts sane (streaming sinks and incremental loads emit thousands of
+KB-sized files whose per-file open cost dominates the scan).
+
+Both operators here write a scratch layout, run the maintenance /
+pruned read, and return the re-read rows, so the oracle verifies the
+full round trip.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from powertrainstreaming_spark.plans.registry import query
+from powertrainstreaming_spark.sources.loaders import load
+
+_PRUNE_LANGS = ("en", "de")
+
+
+def _partitioned_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = tempfile.mkdtemp(prefix="pts_part_docs_")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    return out
+
+
+# Read-back schema: data columns first, the partition column last (its
+# value comes from the directory name).  Declared, not inferred — an
+# EMPTY layout (zero partitions, e.g. day one of a tenant) has no files
+# to infer from, and partition-value type inference is a determinism
+# hole besides.
+_PART_DOCS_DDL = (
+    "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING"
+)
+
+
+def pruned_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned scan itself (plan-asserted in tests): the lang
+    predicate is a PartitionFilter — non-matching lang=... directories
+    are never opened."""
+    out = _partitioned_docs_dir(spark, sf_dir)
+    docs = spark.read.schema(_PART_DOCS_DDL).parquet(out)
+    return docs.filter(F.col("lang").isin(*_PRUNE_LANGS))
+
+
+@query(
+    "scan_partition_pruned",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN {_PRUNE_LANGS!r}
+    GROUP BY lang, source
+    """,
+    tier="P2",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read-back: documents
+    are laid out as lang=<v>/part-*.parquet, and a filter on the
+    partition column prunes at the DIRECTORY level — the scan node
+    carries it as a PartitionFilter, not a data filter
+    (tests/test_properties.py asserts this on the physical plan).
+
+    At 100 TB partition pruning is the difference between scanning a
+    corpus and scanning a shard: lang/source/date are the standard
+    partition keys of a training-data lake, and every downstream
+    operator in this engine composes with this layout unchanged.
+    """
+    pruned = pruned_docs_scan(spark, sf_dir)
+    return pruned.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+_COMPACT_INPUT_FILES = 40
+_COMPACT_TARGET_BYTES = 4 * 1024 * 1024
+
+
+def _parquet_files(d: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+
+
+def compact_dir(spark: SparkSession, src_dir: str, target_bytes: int) -> str:
+    """Compact a directory of small parquet files into ~target_bytes
+    files.  Sizing reads only filesystem metadata; the rewrite is a
+    COALESCE — a narrow dependency that concatenates input partitions
+    without a shuffle, so compaction costs one read + one write and
+    zero network beyond the reads themselves.  (repartition would
+    rebalance perfectly but pays a full shuffle — wrong default for
+    maintenance jobs that run continuously at 100 TB.)"""
+    total = sum(os.path.getsize(p) for p in _parquet_files(src_dir))
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    out = tempfile.mkdtemp(prefix="pts_compacted_")
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(out)
+    return out
+
+
+@query(
+    "maintenance_compact_files",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+    tier="P2",
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 40-file shard of events (the layout a
+    per-minute streaming sink leaves behind) is rewritten into
+    target-sized files, preserving rows exactly — the oracle checks the
+    full rewrite round trip, tests assert the file count actually
+    shrinks.
+
+    The staged split uses repartition (synthesizing the fragmented
+    input); the compaction itself is shuffle-free coalesce.
+    """
+    frag = tempfile.mkdtemp(prefix="pts_frag_")
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(_COMPACT_INPUT_FILES).write.mode("overwrite").parquet(frag)
+    compacted = compact_dir(spark, frag, _COMPACT_TARGET_BYTES)
+    return spark.read.parquet(compacted).select(
+        "event_id", "user_id", "event_type", "value"
+    )

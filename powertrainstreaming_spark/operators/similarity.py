@@ -358,3 +358,129 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection LSH: band-blocked all-pairs (the unlabeled scale path)
+
+_LSH_BANDS = 6
+_LSH_BITS = 6
+_LSH_DIM = 64
+_LSH_TAU = 0.3
+
+
+def _lsh_weights(plane: int) -> list[int]:
+    """Deterministic ±1 hyperplane for one signature bit: the sign is a
+    pure integer function of (plane, dim) — no RNG, so both engines and
+    every run share the exact codebook.  ±1 entries make the projection
+    a signed sum (sign-random-projection LSH, the standard SimHash-for-
+    vectors construction)."""
+    return [
+        1 if ((plane * _LSH_DIM + i + 1) * 2654435761) % 97 % 2 == 0 else -1
+        for i in range(_LSH_DIM)
+    ]
+
+
+def _lsh_sig_structs() -> list[Column]:
+    sigs = []
+    for band in range(_LSH_BANDS):
+        sig = F.lit(0)
+        for j in range(_LSH_BITS):
+            w = _lsh_weights(band * _LSH_BITS + j)
+            proj = dot_f(F.col("embedding"), F.array(*[F.lit(x) for x in w]))
+            sig = sig + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sigs.append(
+            F.struct(
+                F.lit(band).alias("band"), sig.cast("int").alias("sig")
+            )
+        )
+    return sigs
+
+
+def _o_lsh_band_sig(band: int) -> str:
+    terms = []
+    for j in range(_LSH_BITS):
+        w = _lsh_weights(band * _LSH_BITS + j)
+        lit = "[" + ", ".join(str(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN {o_dot('embedding', lit)} > 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_LSH_SIGS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {band} AS band, {_o_lsh_band_sig(band)} AS sig FROM embeddings"
+    for band in range(_LSH_BANDS)
+)
+
+
+@query(
+    "sim_lsh_rp_pairs",
+    oracle=f"""
+    WITH sigs AS (
+        {_LSH_SIGS_SQL}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round({o_dot('ea.embedding', 'eb.embedding')}, 6) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = vec_a
+    JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE round({o_dot('ea.embedding', 'eb.embedding')}, 6) >= {_LSH_TAU}
+    """,
+    tier="P2",
+)
+def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar pairs via sign-random-projection LSH banding — the
+    blocked all-pairs join for corpora with NO label/cluster column
+    (the docstring promise of sim_pair_join_threshold, made real).
+
+    Index: {bands} bands × {bits} sign-bits; each vector lands in one
+    bucket per band.  Candidates: vectors sharing any (band, bucket),
+    generated by a self-equi-join on the band key — the shuffle is keyed
+    on (band, sig), candidate volume is Σ|bucket|² per band, never n².
+    Rerank: exact dot on the deduped candidate set, keep sim ≥ τ.
+
+    The signature join carries only (vec_id, band, sig) — 3 ints per
+    vector per band — and embeddings are re-joined by id only for the
+    ~0.1% of pairs that survive banding: at 100 TB the wide vector
+    column stays out of the biggest shuffle entirely.  Recall vs the
+    exhaustive pair join is property-tested; the oracle mirrors the
+    construction exactly (deterministic codebook), so correctness is
+    hash-checked, approximation and all.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id", F.explode(F.array(*_lsh_sig_structs())).alias("bs")
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), "band", F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", sim_round(dot_f("emb_a", "emb_b")))
+        .filter(F.col("sim") >= _LSH_TAU)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -126,3 +126,56 @@ def test_split_audit_scans_corpus_once_map_only(spark):
     assert final_section.count("Scan parquet") == 1
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in read_schema  # assignment never reads the payload
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Under the scoped runtime-filter confs, Catalyst must build a
+    bloom filter from the selective part side and inject might_contain
+    into the lineitem side BEFORE the shuffle — the 100 TB pattern that
+    spares the fact shuffle from rows that cannot join."""
+    from powertrainstreaming_spark.operators.joins import (
+        _BLOOM_CONFS,
+        _bloom_join_df,
+        _scoped_confs,
+    )
+
+    with _scoped_confs(spark, _BLOOM_CONFS):
+        plan = _plan(_bloom_join_df(spark, SF), "simple")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # Outside the scope nothing leaks: same plan, no runtime filter.
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_scan_partition_pruned_uses_partition_filter(spark):
+    """scan_partition_pruned's lang predicate must prune directories
+    (PartitionFilters), not filter rows after reading them."""
+    from powertrainstreaming_spark.operators.maintenance import pruned_docs_scan
+
+    plan = _plan(pruned_docs_scan(spark, SF))
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "lang" in pf_line
+
+
+def test_compaction_shrinks_file_count_without_shuffle(spark, tmp_path):
+    """Compaction must (a) reduce the file count to the byte-target,
+    (b) preserve rows exactly, and (c) plan as coalesce — no Exchange:
+    a maintenance job that shuffles the whole table is wrong at scale."""
+    from powertrainstreaming_spark.operators.maintenance import (
+        _parquet_files,
+        compact_dir,
+    )
+
+    frag = str(tmp_path / "frag")
+    ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+    ev.repartition(24).write.parquet(frag)
+    assert len(_parquet_files(frag)) == 24
+
+    out = compact_dir(spark, frag, target_bytes=1024 * 1024)
+    assert len(_parquet_files(out)) < 24
+    assert spark.read.parquet(out).count() == ev.count()
+
+    n = max(1, sum(__import__("os").path.getsize(p) for p in _parquet_files(frag)) // (1024 * 1024))
+    plan = _plan(spark.read.parquet(frag).coalesce(int(n)))
+    assert "Coalesce" in plan
+    assert "Exchange" not in plan

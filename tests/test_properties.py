@@ -329,3 +329,34 @@ def test_approx_quantile_within_rank_error_of_exact(spark):
         b = exact_bounds[r.o_orderstatus]
         assert b.m_lo <= r.approx_median <= b.m_hi, r.o_orderstatus
         assert b.p_lo <= r.approx_p95 <= b.p_hi, r.o_orderstatus
+
+
+def test_lsh_pairs_subset_of_exact_with_stable_recall(spark):
+    """sim_lsh_rp_pairs must emit ONLY true ≥τ pairs (the exact rerank
+    makes precision 1.0 by construction — asserted, not assumed), find
+    a stable fraction of them (banding theory: ~0.4 at τ=0.3 with 6×6
+    sign-bits; floor at 0.25), and be bit-deterministic run-to-run
+    (no RNG anywhere in the codebook)."""
+    from powertrainstreaming_spark.operators.similarity import (
+        _LSH_TAU,
+        sim_lsh_rp_pairs,
+    )
+
+    lsh_df = sim_lsh_rp_pairs(spark, SF)
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_df.collect()}
+
+    emb = load(spark, SF, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact_df = (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim_round(dot_f("ea", "eb")))
+        .filter(F.col("sim") >= _LSH_TAU)
+    )
+    exact = {(r.vec_a, r.vec_b) for r in exact_df.collect()}
+
+    assert lsh <= exact, "LSH emitted a pair below the exact threshold"
+    assert len(lsh) / len(exact) >= 0.25
+    rerun = {(r.vec_a, r.vec_b) for r in sim_lsh_rp_pairs(spark, SF).collect()}
+    assert rerun == lsh

@@ -64,6 +64,10 @@ def test_extras_are_intentional():
     extras = set(all_defs()) - SURVEY_KEYS
     assert extras == {
         "dedup_embedding_cosine",
+        "join_runtime_bloom",
+        "scan_partition_pruned",
+        "maintenance_compact_files",
+        "sim_lsh_rp_pairs",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
