@@ -441,3 +441,89 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq.getItem(1).alias("approx_p95"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches — the 100 TB re-aggregation pattern
+
+_TOPK_TOKENS_K = 20
+
+
+@query(
+    "agg_approx_topk",
+    oracle=f"""
+    SELECT token AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, item
+    LIMIT {_TOPK_TOKENS_K}
+    """,
+    tier="P2",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the MERGEABLE approx_top_k sketch: per-lang
+    partial sketches (accumulate) → one combine → estimate, exploded to
+    (item, n) rows.
+
+    This is the re-aggregation shape that matters at 100 TB: per-shard/
+    per-day sketch states are tiny, persistable, and combinable, so
+    "top tokens this month" is a merge of stored states instead of a
+    re-scan of raw text.  The sketch tracks 4096 items — far above the
+    fixture vocabulary — so counts here are EXACT and the k=20 boundary
+    is separated at every fixture SF [MEASURED], which is what lets an
+    approximate operator carry a full value-hash SQL oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    states = toks.groupBy("lang").agg(
+        F.expr("approx_top_k_accumulate(token, 4096)").alias("state")
+    )
+    # Seed with one EMPTY sketch (ungrouped agg over a false filter
+    # always emits exactly one row): combining with an empty state is
+    # identity, and approx_top_k_combine over ZERO rows crashes with a
+    # MatchError on its null accumulator — an empty corpus (zero
+    # groups) must degrade to an empty result, not a job failure.
+    seed = toks.where(F.lit(False)).agg(
+        F.expr("approx_top_k_accumulate(token, 4096)").alias("state")
+    )
+    states = states.select("state").unionByName(seed)
+    est = states.agg(
+        F.expr(
+            f"approx_top_k_estimate(approx_top_k_combine(state), {_TOPK_TOKENS_K})"
+        ).alias("top")
+    )
+    return est.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("bigint").alias("n")
+    )
+
+
+@query("agg_hll_sketch_merge", oracle=None, tier="P2")
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts: per-event_type Datasketches HLL
+    sketches of user_id, estimated per type, PLUS an 'ALL' row whose
+    estimate comes from hll_union_agg over the per-type sketches — the
+    union re-aggregates the sketches, never the raw rows.
+
+    The scale contract: distinct-count rollups (per hour → per day →
+    per month) are sketch unions of stored state, constant memory per
+    group, one pass over raw data ever.  Rows-only t2 check (DuckDB's
+    HLL is a different sketch); estimate accuracy and merge consistency
+    (union-of-parts ≡ direct sketch over the whole) are property-tested
+    in tests/test_properties.py.
+    """
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per = sk.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("approx_users"),
+    )
+    total = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("approx_users")
+    ).select(F.lit("ALL").alias("event_type"), "approx_users")
+    return per.unionByName(total)

@@ -360,3 +360,48 @@ def test_lsh_pairs_subset_of_exact_with_stable_recall(spark):
     assert len(lsh) / len(exact) >= 0.25
     rerun = {(r.vec_a, r.vec_b) for r in sim_lsh_rp_pairs(spark, SF).collect()}
     assert rerun == lsh
+
+
+def test_hll_sketch_estimates_and_merge_consistency(spark):
+    """agg_hll_sketch_merge: per-type estimates within 5% of exact
+    distinct counts, and the 'ALL' row (union of per-type sketches)
+    must EQUAL the estimate of one direct sketch over all rows — sketch
+    re-aggregation is lossless vs re-scanning raw data, which is the
+    whole point of storing sketches at 100 TB."""
+    from powertrainstreaming_spark.operators.aggregates import agg_hll_sketch_merge
+
+    rows = {r.event_type: r.approx_users for r in agg_hll_sketch_merge(spark, SF).collect()}
+    ev = load(spark, SF, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for et, n in exact.items():
+        assert abs(rows[et] - n) / n <= 0.05, (et, rows[et], n)
+    direct = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").cast("bigint")
+    ).collect()[0][0]
+    assert rows["ALL"] == direct
+
+
+def test_approx_topk_states_merge_like_exact_counts(spark):
+    """agg_approx_topk is built from per-lang sketch states combined
+    into one — the combined result must equal the exact global top-k
+    (the fixture vocabulary is far below the tracked-item budget, so
+    the sketch is in its exact regime; this pins that assumption)."""
+    from powertrainstreaming_spark.operators.aggregates import (
+        _TOPK_TOKENS_K,
+        agg_approx_topk,
+    )
+
+    got = {(r.item, r.n) for r in agg_approx_topk(spark, SF).collect()}
+    docs = load(spark, SF, "documents")
+    exact = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(_TOPK_TOKENS_K)
+        .collect()
+    )
+    assert got == {(r.token, r.n) for r in exact}

@@ -65,6 +65,8 @@ def test_extras_are_intentional():
     assert extras == {
         "dedup_embedding_cosine",
         "join_runtime_bloom",
+        "agg_approx_topk",
+        "agg_hll_sketch_merge",
         "scan_partition_pruned",
         "maintenance_compact_files",
         "sim_lsh_rp_pairs",
