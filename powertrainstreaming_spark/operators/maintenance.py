@@ -135,3 +135,70 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(compacted).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+_SEVERITY_ROWS = [
+    ("1-URGENT", 1),
+    ("2-HIGH", 2),
+    ("3-MEDIUM", 3),
+    ("4-NOT SPECIFIED", 4),
+    ("5-LOW", 5),
+]
+_SEV_MAX = 2
+
+_SEVERITY_VALUES_SQL = ", ".join(f"('{p}', {s})" for p, s in _SEVERITY_ROWS)
+
+
+def dpp_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DPP join itself (plan-asserted in tests): orders laid out
+    partitioned by o_orderpriority, joined on the partition column to a
+    severity dimension filtered to sev ≤ 2 — Catalyst inserts a
+    dynamicpruning subquery into the fact scan's PartitionFilters, so
+    only the 2 matching directories are ever read."""
+    out = tempfile.mkdtemp(prefix="pts_dpp_orders_")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.schema(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"
+    ).parquet(out)
+    dim = spark.createDataFrame(_SEVERITY_ROWS, "prio string, sev int")
+    return fact.join(
+        dim, fact.o_orderpriority == dim.prio
+    ).filter(F.col("sev") <= _SEV_MAX)
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle=f"""
+    SELECT prio, sev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    JOIN (VALUES {_SEVERITY_VALUES_SQL}) AS dim(prio, sev)
+      ON o_orderpriority = prio
+    WHERE sev <= {_SEV_MAX}
+    GROUP BY prio, sev
+    """,
+    tier="P2",
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the partition filter is not a literal
+    (scan_partition_pruned's static case) but the RESULT of the dim
+    side's filter, discovered at runtime — Spark broadcasts the
+    filtered dim's join keys into the fact scan as a dynamicpruning
+    subquery before the fact is read.
+
+    This is the decisive scan-reduction pattern for star joins at
+    100 TB: date-dim filters ("last week") prune a date-partitioned
+    fact without the query ever naming partition values.  The physical
+    plan is asserted in tests/test_plan_quality.py; the oracle is the
+    equivalent static join.
+    """
+    from powertrainstreaming_spark.functions.exprs import money_sum
+
+    return dpp_join_df(spark, sf_dir).groupBy("prio", "sev").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_price"),
+    )

@@ -179,3 +179,14 @@ def test_compaction_shrinks_file_count_without_shuffle(spark, tmp_path):
     plan = _plan(spark.read.parquet(frag).coalesce(int(n)))
     assert "Coalesce" in plan
     assert "Exchange" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions_dynamically(spark):
+    """join_dpp_partitioned's fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters: the pruned set comes from the
+    filtered dim side at runtime, not from a literal in the query."""
+    from powertrainstreaming_spark.operators.maintenance import dpp_join_df
+
+    plan = dpp_join_df(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in pf_lines), pf_lines

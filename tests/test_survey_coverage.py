@@ -65,6 +65,7 @@ def test_extras_are_intentional():
     assert extras == {
         "dedup_embedding_cosine",
         "join_runtime_bloom",
+        "join_dpp_partitioned",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
