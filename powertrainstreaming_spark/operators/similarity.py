@@ -130,7 +130,7 @@ _TOPK_K = 5
     tier="P2",
 )
 def sim_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN (k={k}) for EVERY vector, blocked by label: within-block
+    """k-NN (k=5) for EVERY vector, blocked by label: within-block
     pairs → window top-k per query vector.
 
     Same blocking discipline as sim_pair_join_threshold — the pair
@@ -439,8 +439,8 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked all-pairs join for corpora with NO label/cluster column
     (the docstring promise of sim_pair_join_threshold, made real).
 
-    Index: {bands} bands × {bits} sign-bits; each vector lands in one
-    bucket per band.  Candidates: vectors sharing any (band, bucket),
+    Index: 6 bands × 6 sign-bits; each vector lands in one bucket per
+    band.  Candidates: vectors sharing any (band, bucket),
     generated by a self-equi-join on the band key — the shuffle is keyed
     on (band, sig), candidate volume is Σ|bucket|² per band, never n².
     Rerank: exact dot on the deduped candidate set, keep sim ≥ τ.

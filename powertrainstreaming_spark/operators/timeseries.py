@@ -173,3 +173,145 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_corr_channels",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS x, b.n AS y
+        FROM hourly a
+        JOIN hourly b ON a.bucket = b.bucket AND a.event_type < b.event_type
+    ),
+    sums AS (
+        SELECT type_a, type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM paired GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_hours,
+           round((n_hours * sxy - sx * sy) /
+                 sqrt((n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)),
+                 6) AS corr
+    FROM sums
+    """,
+    tier="P2",
+)
+def ts_corr_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel correlation matrix: Pearson correlation of hourly
+    event-rate series between every event-type pair (the telemetry
+    question behind the reference — does channel A move with channel B?).
+
+    Built for cross-engine exactness: the per-pair moments (Σx, Σy,
+    Σxy, Σx², Σy², n) are EXACT BIGINT sums of counts, so the closed-
+    form correlation is evaluated over bit-identical operands in both
+    engines and needs only the final round — never corr()/stddev
+    builtins, whose accumulation orders differ per engine.  Hours are
+    paired by inner join: the correlation is over hours where both
+    channels observed traffic.
+
+    Scale: raw events collapse to (type, hour) partials map-side; the
+    pair join and moment aggregation run over the REGULARIZED series
+    (|types| × |hours| rows), so cost is bounded by the time range —
+    at 100 TB the input scan dominates and everything after is noise.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("n").alias("x")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("n").alias("y"),
+    )
+    paired = a.join(
+        b,
+        (a.bucket == b.bucket_b) & (F.col("type_a") < F.col("type_b")),
+    )
+    sums = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_hours")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "type_a", "type_b", "n_hours", F.round(corr, 6).alias("corr")
+    )
+
+
+@query(
+    "ts_downsample_ohlc",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER w_asc AS rn_a,
+               row_number() OVER w_desc AS rn_d
+        FROM events
+        WINDOW w_asc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                         ORDER BY ts, event_id),
+               w_desc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                          ORDER BY ts DESC, event_id DESC)
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value
+    FROM ranked
+    GROUP BY event_type, bucket
+    """,
+    tier="P2",
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (channel, hour) the first, max, min, and
+    last reading — the lossy-but-faithful compression every telemetry
+    retention policy applies to old data.
+
+    First/last are defined by (ts, event_id) — the unique tiebreak
+    keeps the result partition-count-invariant (two readings in the
+    same microsecond pick the lower event_id, in both engines).  The
+    window and the aggregation share one (event_type, hour) shuffle;
+    state per group is one row number, and the aggregation collapses
+    each group to a single row — at 100 TB this is the standard
+    pre-aggregation that makes year-scale dashboards interactive.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    w_asc = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        bucket.alias("bucket"),
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+    )

@@ -66,6 +66,8 @@ def test_extras_are_intentional():
         "dedup_embedding_cosine",
         "join_runtime_bloom",
         "join_dpp_partitioned",
+        "ts_corr_channels",
+        "ts_downsample_ohlc",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
@@ -109,3 +111,17 @@ def test_extras_are_intentional():
         "text_quality_score",
         "win_range_interval",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
+
+
+def test_query_surface_is_tier_ordered():
+    """queries()/oracle_sql() iterate P0 → P1 → P2 (alphabetical within
+    a tier): a consumer that samples a prefix of the surface (bounded
+    harness budget) must meet the core contract operators first.  A new
+    registration can only break this by mis-tiering itself."""
+    defs = all_defs()
+    tiers = [{"P0": 0, "P1": 1, "P2": 2}[d.tier] for d in defs.values()]
+    assert tiers == sorted(tiers)
+    names = list(defs)
+    for i in range(1, len(names)):
+        if tiers[i] == tiers[i - 1]:
+            assert names[i - 1] < names[i]
