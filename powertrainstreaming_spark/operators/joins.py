@@ -568,3 +568,48 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "p_brand", "p_type", "n_items", "revenue"
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) l
+    WHERE c.c_acctbal > 8000
+    """,
+    tier="P2",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each high-balance customer's top-2
+    orders by price — the per-row-subquery shape users reach for
+    before they know window functions.
+
+    Both engines run the textually identical SQL.  Catalyst decorrelates
+    the lateral subquery into a ranked join (no per-row re-execution),
+    so at scale this costs one shuffle on the correlation key plus a
+    per-key limit — the same physics as the window top-k in
+    win_row_number_topk, which remains the canonical form; this entry
+    proves the correlated-SQL surface maps onto it.  The LIMIT carries
+    a unique tiebreak (o_orderkey), keeping the result deterministic.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("pts_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pts_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM pts_lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM pts_lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) l
+        WHERE c.c_acctbal > 8000
+        """
+    )

@@ -66,6 +66,7 @@ def test_extras_are_intentional():
         "dedup_embedding_cosine",
         "join_runtime_bloom",
         "join_dpp_partitioned",
+        "join_lateral_topn",
         "ts_corr_channels",
         "ts_downsample_ohlc",
         "agg_approx_topk",
