@@ -190,3 +190,30 @@ def test_dpp_join_prunes_fact_partitions_dynamically(spark):
     plan = dpp_join_df(spark, SF)._jdf.queryExecution().executedPlan().toString()
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l for l in pf_lines), pf_lines
+
+
+def test_no_registered_query_emits_complex_output_columns(spark):
+    """The cross-engine compare harness canonicalizes rows with pandas,
+    which cannot sort/hash ARRAY/MAP/STRUCT cells (observed breaking
+    agg_collect_sorted in the round-2 driver run) — so every registered
+    query's OUTPUT schema must be scalar-only; render lists as canonical
+    strings instead.  Streaming queries are excluded here (building
+    them executes the stream); their outputs are covered by the same
+    rule via the golden snapshots."""
+    import pyspark.sql.types as T
+
+    def complex_cols(df):
+        return [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+
+    offenders = {}
+    for name, qdef in all_defs().items():
+        if name.startswith(("stream_", "source_", "sink_")):
+            continue
+        cols = complex_cols(qdef.fn(spark, SF))
+        if cols:
+            offenders[name] = cols
+    assert offenders == {}, offenders
