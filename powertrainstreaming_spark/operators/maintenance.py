@@ -202,3 +202,41 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("total_price"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+    tier="P2",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 wrote
+    (o_orderkey, o_totalprice); generation 2 added o_orderstatus.
+    Reading the directory with mergeSchema unifies the footers — old
+    files surface the new column as NULL, nothing is rewritten.
+
+    Additive column evolution is how a 100 TB lake actually changes
+    shape: rewriting history is off the table, so the reader owns the
+    merge.  mergeSchema costs a footer read per file generation (not
+    per row) at planning time; production pins the merged schema in a
+    catalog and reads with it declared, which is the loaders.py
+    discipline applied over time.
+    """
+    out = tempfile.mkdtemp(prefix="pts_evolve_")
+    orders = load(spark, sf_dir, "orders")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")

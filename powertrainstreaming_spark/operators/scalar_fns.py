@@ -237,3 +237,50 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("status").alias("map_status"),
         m.getItem("priority").alias("map_priority"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS n_parsed,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.missing') AS INT))
+                AS BIGINT) AS n_missing_parsed,
+           CAST(SUM(CASE WHEN value = 0 THEN NULL ELSE value END) IS NOT NULL
+                AS BOOLEAN) AS has_nonzero,
+           round(CAST(SUM(CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                              AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)),
+                 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling on dirty data: TRY_CAST parses the JSON
+    property (NULL on absent/garbage, never a job abort), counts track
+    parse coverage, and the average divides decimal-exact sums by the
+    PARSED count only.
+
+    At 100 TB a single malformed record must never kill a 10-hour job:
+    try_* expressions turn per-row failures into NULLs that aggregate
+    semantics already handle.  The '$.missing' probe pins the
+    all-NULL path (COUNT=0) on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    k_missing = F.get_json_object("props", "$.missing").try_cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_parsed"),
+        F.count(k_missing).alias("n_missing_parsed"),
+        F.sum(F.when(F.col("value") == 0, None).otherwise(F.col("value")))
+        .isNotNull()
+        .alias("has_nonzero"),
+        F.round(
+            F.sum(k.cast("decimal(18,6)")).cast("double") / F.count(k), 6
+        ).alias("avg_k"),
+    )

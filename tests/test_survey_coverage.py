@@ -67,6 +67,8 @@ def test_extras_are_intentional():
         "join_runtime_bloom",
         "join_dpp_partitioned",
         "join_lateral_topn",
+        "fn_try_safe",
+        "scan_schema_evolution",
         "ts_corr_channels",
         "ts_downsample_ohlc",
         "agg_approx_topk",
