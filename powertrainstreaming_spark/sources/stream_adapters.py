@@ -38,6 +38,35 @@ class FileReplayAdapter:
         return events_stream(spark, self.sf_dir)
 
 
+def parse_event_payload(raw: DataFrame, ts_unit: str = "micros") -> DataFrame:
+    """Parse a `value`-column JSON payload stream/frame into the typed
+    events columns the file adapter produces.
+
+    The payload contract: `ts` is an epoch INTEGER in `ts_unit`
+    ('micros' standard, matching the batch loader's normalized
+    TIMESTAMP; 'nanos' producers get the same truncating div-1000 shim
+    as nanos parquet files).  Factored out of the Kafka adapter so the
+    parse+shim contract is unit-testable without a broker — the
+    adapter-agnostic claim is verified in tests/test_adapters.py by
+    round-tripping fixture rows through JSON.
+    """
+    if ts_unit not in ("micros", "nanos"):
+        raise ValueError(f"ts_unit must be 'micros' or 'nanos', got {ts_unit!r}")
+    payload_ddl = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), payload_ddl).alias("e")
+    ).select("e.*")
+    shim = (
+        "timestamp_micros(ts div 1000)"
+        if ts_unit == "nanos"
+        else "timestamp_micros(ts)"
+    )
+    return parsed.withColumn("ts", F.expr(shim))
+
+
 @dataclass(frozen=True)
 class KafkaSourceAdapter:
     """Kafka direct-stream source (the reference's native shape).
@@ -78,19 +107,7 @@ class KafkaSourceAdapter:
                 "FileReplayAdapter for bounded replay, or submit with "
                 "--packages org.apache.spark:spark-sql-kafka-0-10_2.13."
             ) from exc
-        if self.ts_unit not in ("micros", "nanos"):
-            raise ValueError(f"ts_unit must be 'micros' or 'nanos', got {self.ts_unit!r}")
-        payload_ddl = (
-            "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-            "value DOUBLE, props STRING"
-        )
-        parsed = raw.select(
-            F.from_json(F.col("value").cast("string"), payload_ddl).alias("e")
-        ).select("e.*")
-        shim = "timestamp_micros(ts div 1000)" if self.ts_unit == "nanos" else (
-            "timestamp_micros(ts)"
-        )
-        return parsed.withColumn("ts", F.expr(shim))
+        return parse_event_payload(raw, self.ts_unit)
 
 
 def get_adapter(kind: str, **kwargs) -> StreamSourceAdapter:
