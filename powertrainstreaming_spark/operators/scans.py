@@ -119,3 +119,31 @@ def source_kafka_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = adapter.stream(spark)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_bounded(agg, "complete")
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 0
+    """,
+    tier="P2",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest with a declared schema: export supplier to ORC, read
+    it back, push a filter — the second columnar format next to
+    parquet (mixed-format lakes are the norm when upstream teams pick
+    their own writers).  Same loader discipline: schema declared,
+    never inferred; predicate pushdown works identically (ORC carries
+    min/max stripe stats like parquet row groups).
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pts_scan_orc_")
+    supplier = load(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(out)
+    back = spark.read.schema(TABLE_DDL["supplier"]).orc(out)
+    return back.filter(F.col("s_acctbal") > 0).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )

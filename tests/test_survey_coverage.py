@@ -69,6 +69,7 @@ def test_extras_are_intentional():
         "join_lateral_topn",
         "fn_try_safe",
         "scan_schema_evolution",
+        "scan_orc_roundtrip",
         "ts_corr_channels",
         "ts_downsample_ohlc",
         "agg_approx_topk",
