@@ -284,3 +284,39 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k.cast("decimal(18,6)")).cast("double") / F.count(k), 6
         ).alias("avg_k"),
     )
+
+
+@query(
+    "fn_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="P2",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    parse_json once into a binary-encoded variant, then typed
+    variant_get path extraction — the modern replacement for repeated
+    get_json_object string re-parsing.
+
+    At 100 TB the difference is decode cost: a variant column parses
+    each JSON document ONCE (and with a variant-typed parquet column,
+    zero times at query time, with shredded path pushdown), where
+    N get_json_object calls re-parse the string N times per row.  The
+    oracle extracts the same paths with DuckDB's JSON functions —
+    value-identical, engine-appropriate encodings on each side.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )

@@ -68,6 +68,7 @@ def test_extras_are_intentional():
         "join_dpp_partitioned",
         "join_lateral_topn",
         "fn_try_safe",
+        "fn_variant_extract",
         "scan_schema_evolution",
         "scan_orc_roundtrip",
         "ts_corr_channels",
