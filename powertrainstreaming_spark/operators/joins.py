@@ -12,6 +12,8 @@ are left to Catalyst/AQE, which broadcast them while they fit.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -484,8 +486,6 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Runtime bloom-filter prefilter (the 100 TB selective-dim join pattern)
-
-from contextlib import contextmanager
 
 
 @contextmanager
