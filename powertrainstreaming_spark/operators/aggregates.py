@@ -527,3 +527,45 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("approx_users")
     ).select(F.lit("ALL").alias("event_type"), "approx_users")
     return per.unionByName(total)
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events
+    """,
+    tier="P2",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via roaring-style
+    bitmaps (bitmap_construct_agg / bitmap_or_agg / bitmap_count).
+
+    The third point on the distinct-count cost curve: countDistinct is
+    exact but expands every id through the shuffle; HLL sketches
+    (agg_hll_sketch_merge) are mergeable but approximate; bitmaps are
+    BOTH exact AND mergeable — per-(group, bucket) bitmaps of 32768 id
+    positions each union losslessly across groups, so a 100 TB rollup
+    re-aggregates fixed-size bitmap bytes instead of re-scanning ids.
+    Buckets partition the id space, so per-bucket cardinalities sum
+    exactly; the ALL row is computed by OR-merging the per-type bitmaps
+    bucket-by-bucket — never touching the raw events again.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("exact_users")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("exact_users"))
+        .select(F.lit("ALL").alias("event_type"), "exact_users")
+    )
+    return per_type.unionByName(merged)

@@ -240,3 +240,67 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+# Morton (Z-order) interleave of two 8-bit bucket keys, unrolled to
+# pure integer ops so Spark and DuckDB evaluate bit-identically.
+_Z_SPARK = "shiftleft(shiftright(xb, 0) & 1, 0) + shiftleft(shiftright(yb, 0) & 1, 1) + shiftleft(shiftright(xb, 1) & 1, 2) + shiftleft(shiftright(yb, 1) & 1, 3) + shiftleft(shiftright(xb, 2) & 1, 4) + shiftleft(shiftright(yb, 2) & 1, 5) + shiftleft(shiftright(xb, 3) & 1, 6) + shiftleft(shiftright(yb, 3) & 1, 7) + shiftleft(shiftright(xb, 4) & 1, 8) + shiftleft(shiftright(yb, 4) & 1, 9) + shiftleft(shiftright(xb, 5) & 1, 10) + shiftleft(shiftright(yb, 5) & 1, 11) + shiftleft(shiftright(xb, 6) & 1, 12) + shiftleft(shiftright(yb, 6) & 1, 13) + shiftleft(shiftright(xb, 7) & 1, 14) + shiftleft(shiftright(yb, 7) & 1, 15)"
+_Z_DUCK = "(((xb >> 0) & 1) << 0) + (((yb >> 0) & 1) << 1) + (((xb >> 1) & 1) << 2) + (((yb >> 1) & 1) << 3) + (((xb >> 2) & 1) << 4) + (((yb >> 2) & 1) << 5) + (((xb >> 3) & 1) << 6) + (((yb >> 3) & 1) << 7) + (((xb >> 4) & 1) << 8) + (((yb >> 4) & 1) << 9) + (((xb >> 5) & 1) << 10) + (((yb >> 5) & 1) << 11) + (((xb >> 6) & 1) << 12) + (((yb >> 6) & 1) << 13) + (((xb >> 7) & 1) << 14) + (((yb >> 7) & 1) << 15)"
+
+
+@query(
+    "layout_zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_custkey % 256 AS xb,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) % 256 AS yb
+        FROM orders
+    ),
+    z AS (SELECT xb, yb, {_Z_DUCK} AS zval FROM b)
+    SELECT CAST(zval // 64 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xb) AS BIGINT) AS min_cust_bucket,
+           CAST(MAX(xb) AS BIGINT) AS max_cust_bucket,
+           CAST(MIN(yb) AS BIGINT) AS min_day_bucket,
+           CAST(MAX(yb) AS BIGINT) AS max_day_bucket
+    FROM z
+    GROUP BY 1
+    """,
+    tier="P2",
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over two scan dimensions
+    (customer bucket x order-day bucket) — the data-layout primitive
+    behind multi-dimensional file skipping (Delta/Iceberg OPTIMIZE
+    ZORDER): sorting 100 TB of files by the interleaved key keeps BOTH
+    min-max column ranges tight per file, so predicates on EITHER
+    dimension prune files, not just the leading sort key.
+
+    The interleave is an unrolled sum of shift/mask integer ops —
+    whole-stage-codegen arithmetic, no UDF — and the query reports
+    per-z-bucket row counts plus the min-max envelope of both source
+    dimensions: the spans are what a file-skipping index would store,
+    and their tightness (vs a single-column sort, where the second
+    dimension's span is the full domain) is the measurable win.  At
+    scale the z_bucket becomes the repartitionByRange key for the
+    rewrite; here the aggregate proves the envelope math.
+    """
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        F.expr("pmod(o_custkey, 256)").alias("xb"),
+        F.expr(
+            "pmod(datediff(cast(o_orderdate as date), date'1992-01-01'), 256)"
+        ).alias("yb"),
+    )
+    z = b.withColumn("zval", F.expr(_Z_SPARK))
+    return (
+        z.groupBy(F.expr("zval div 64").cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("xb").cast("bigint").alias("min_cust_bucket"),
+            F.max("xb").cast("bigint").alias("max_cust_bucket"),
+            F.min("yb").cast("bigint").alias("min_day_bucket"),
+            F.max("yb").cast("bigint").alias("max_day_bucket"),
+        )
+    )

@@ -320,3 +320,64 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.max("k").cast("int").alias("max_k"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/' || lang || '/doc-'
+               || CAST(doc_id % 50 AS VARCHAR) || '?session='
+               || CAST(doc_id AS VARCHAR) || '&ref=mail' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+           CAST(regexp_extract(url, 'session=([0-9]+)', 1) AS BIGINT) AS session_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+           || regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS canonical_url
+    FROM u
+    """,
+    tier="P2",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition and canonicalization via parse_url — the
+    web-corpus normalization step (CommonCrawl-style pipelines dedup on
+    scheme-stripped host+path after dropping tracking query params).
+
+    The fixture tables carry no URL column, so a deterministic URL is
+    constructed per document from (source, lang, doc_id) and then
+    parsed back with Spark's parse_url(HOST/PATH/QUERY) — the operator
+    under test is the parser/canonicalizer, which the DuckDB oracle
+    mirrors with equivalent regexes.  Row-local string work: map-only,
+    codegen, no shuffle at any scale; downstream exact dedup on
+    canonical_url is `dedup_exact` on this column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?session="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=mail"),
+    )
+    parsed = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return parsed.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        path.alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("session"))
+        .cast("bigint")
+        .alias("session_id"),
+        F.concat(host, path).alias("canonical_url"),
+    )

@@ -671,3 +671,147 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("props"), pat, "<NUM>").alias("props_masked"),
         F.regexp_count(F.col("props"), F.lit(pat)).cast("int").alias("n_masked"),
     )
+
+
+@query(
+    "index_inverted_postings",
+    oracle="""
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    tier="P1",
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> (document frequency, sorted
+    posting list) — the retrieval-side artifact of a corpus pipeline
+    (BM25 / keyword search / decontamination lookups all start here).
+
+    Plan: explode -> distinct (one (doc, token) posting per pair) ->
+    partial+final hash agg keyed on token.  The shuffle carries one row
+    per posting, never whole documents.  The posting list is emitted in
+    canonical sorted comma-joined string form: at 100 TB postings stay
+    ARRAY<BIGINT> (the string render is the oracle-canonical surface;
+    complex columns are unhashable in the cross-engine compare) and
+    hot tokens would be range-split into posting segments — here df is
+    bounded by doc count per token, and array_sort pins element order.
+    """
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    return postings.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_join(
+            F.array_sort(F.collect_set("doc_id")).cast("array<string>"), ","
+        ).alias("postings"),
+    )
+
+
+_BOILER_MIN_DOCS = 5
+
+
+@query(
+    "text_boilerplate_spans",
+    oracle=f"""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT shingle,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_df,
+           CAST(COUNT(*) AS BIGINT) AS occurrences
+    FROM tri
+    GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+    """,
+    tier="P2",
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span mining: trigram shingles that occur
+    in >= {_BOILER_MIN_DOCS} distinct documents — the boilerplate
+    detector (headers, footers, license blocks, nav text) that C4-style
+    cleaning removes before training.
+
+    Distinct from `corpus_decontam_ngram` (train-vs-eval overlap) and
+    `dedup_near_ngram` (pairwise Jaccard): this is a corpus-global
+    shingle doc-frequency profile.  Shingling is JVM-side
+    (transform/sequence over the split array), and the count-distinct
+    is a two-level agg keyed on (shingle, doc_id) partials — no doc_id
+    set is ever materialized per shingle, so a shingle appearing in
+    millions of documents costs one counter, not a collected list.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    tri = F.expr(
+        "transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+        "element_at(t, i + 2)))"
+    )
+    shingles = docs.withColumn("t", t).select(
+        "doc_id", F.explode(tri).alias("shingle")
+    )
+    return (
+        shingles.groupBy("shingle")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("doc_df"),
+            F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+        )
+        .filter(F.col("doc_df") >= _BOILER_MIN_DOCS)
+    )
+
+
+@query(
+    "text_entropy",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round((ln(CAST(SUM(tf) AS DOUBLE))
+                  - SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
+                    / CAST(SUM(tf) AS DOUBLE)) / ln(2.0), 6) AS entropy_bits
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tier="P2",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (bits) — the
+    randomness/quality signal that catches keyboard-mash and
+    single-token-spam pages that length and stopword ratios miss.
+
+    H = log2(n) - (1/n) * sum(tf * log2(tf)), computed from exact
+    integer term frequencies via the identity that avoids per-token
+    probabilities.  Two-level agg: (doc, token) partial counts, then a
+    per-doc combine — both shuffles carry counters only.  The ln() and
+    the float sum take different paths in the two engines (libm,
+    summation order), so the final value is rounded to 6 places per
+    the determinism contract; the integer columns stay exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    n = F.sum("tf").cast("bigint")
+    s = F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double")))
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            (F.log(n.cast("double")) - s / n.cast("double")) / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+    )

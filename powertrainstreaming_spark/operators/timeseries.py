@@ -315,3 +315,59 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low_value"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
     )
+
+
+_RUN_MIN_LEN = 3
+
+
+@query(
+    "win_gaps_islands",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM r
+    GROUP BY user_id, event_type, grp
+    HAVING COUNT(*) >= {_RUN_MIN_LEN}
+    """,
+    tier="P2",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (the classic tabibito problem — uptime stretches, retry
+    storms, repeated-failure bursts in telemetry).
+
+    The two row_numbers differ by a constant within a run, so their
+    difference is a stable island key — pure window algebra, no
+    iterative loop.  Both windows hash-partition on user_id (the
+    second adds event_type), so one shuffle keyed by user dominates;
+    per-user state is a sort buffer, bounded by events-per-user, and
+    skewed users are AQE's problem, not a correctness hazard.  Ordering
+    ties on ts are broken by event_id in BOTH engines (determinism
+    contract §5.3 rule 3).
+    """
+    ev = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "grp", F.row_number().over(w_user) - F.row_number().over(w_type)
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("run_len"),
+            F.min("event_id").cast("bigint").alias("first_event"),
+            F.max("event_id").cast("bigint").alias("last_event"),
+        )
+        .filter(F.col("run_len") >= _RUN_MIN_LEN)
+        .drop("grp")
+    )

@@ -73,6 +73,13 @@ def test_extras_are_intentional():
         "scan_orc_roundtrip",
         "ts_corr_channels",
         "ts_downsample_ohlc",
+        "agg_bitmap_distinct",
+        "index_inverted_postings",
+        "text_boilerplate_spans",
+        "text_entropy",
+        "win_gaps_islands",
+        "layout_zorder_cluster",
+        "fn_url_parse",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
