@@ -101,3 +101,51 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((poly_hash("text") % 10000) < thresh)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_IMP_SCALE = 1000  # acceptance ~ n_chars / 1000, capped at 1
+_IMP_MOD = 1_000_000
+
+
+@query(
+    "sample_importance_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars,
+           CAST({o_poly_hash("CAST(doc_id AS VARCHAR)")} % {_IMP_MOD}
+                AS BIGINT) AS u,
+           CAST(LEAST(n_chars * {_IMP_SCALE},
+                      {_IMP_MOD}) AS BIGINT) AS threshold
+    FROM documents
+    WHERE {o_poly_hash("CAST(doc_id AS VARCHAR)")} % {_IMP_MOD}
+          < LEAST(n_chars * {_IMP_SCALE}, {_IMP_MOD})
+    """,
+    tier="P2",
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each document
+    with probability proportional to its weight (here n_chars/1000,
+    capped at 1) — the corpus-curation move that up-samples long/
+    high-quality documents without an RNG.
+
+    The accept test compares a per-row poly-hash uniform (exact int64
+    arithmetic, bit-identical across engines — module docstring) to an
+    integer threshold derived from the weight, so the decision is
+    map-only, reproducible under re-sharding, and auditable: the query
+    emits u and threshold alongside the kept row, making every keep
+    decision independently re-checkable.  At 100 TB this is a codegen
+    filter on the scan — no shuffle, no driver state, and the expected
+    sample size is sum(w)/scale regardless of partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    u = poly_hash(F.col("doc_id").cast("string")) % _IMP_MOD
+    threshold = F.least(
+        F.col("n_chars") * _IMP_SCALE, F.lit(_IMP_MOD)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        u.cast("bigint").alias("u"),
+        threshold.alias("threshold"),
+    ).filter(F.col("u") < F.col("threshold"))

@@ -371,3 +371,182 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= _RUN_MIN_LEN)
         .drop("grp")
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT s.event_type, g.bucket
+        FROM spans s,
+             LATERAL (SELECT unnest(generate_series(s.lo, s.hi,
+                                                    INTERVAL 1 HOUR))
+                      AS bucket) g
+    ),
+    ctx AS (
+        SELECT g.event_type, g.bucket,
+               h.n_events, h.avg_value,
+               last_value(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN h.avg_value IS NOT NULL
+                               THEN g.bucket END IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN h.avg_value IS NOT NULL
+                                THEN g.bucket END IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM grid g LEFT JOIN hourly h USING (event_type, bucket)
+    )
+    SELECT event_type, bucket,
+           COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,
+           CASE WHEN n_events IS NOT NULL THEN avg_value
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('second', pb, bucket) AS DOUBLE)
+                        / CAST(date_diff('second', pb, nb) AS DOUBLE))
+           END AS interp_value,
+           n_events IS NULL AS is_gap
+    FROM ctx
+    """,
+    tier="P2",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid regularization with LINEAR interpolation across gaps
+    — the companion to `ts_gapfill_locf` for signals where
+    step-holding biases downstream features (rates, gradients).
+
+    Same scan shape as LOCF: one partial/final agg over raw events,
+    tiny synthesized grid, one left join, one ordered window pass that
+    carries (prev value, prev bucket) forward and (next value, next
+    bucket) backward with IGNORE NULLS frames.  Grid endpoints are
+    observed buckets per type, so prev/next always exist and the
+    interpolation denominator is never 0 (gap rows are strictly
+    between two observations).
+
+    Determinism: the hourly mean is the exact decimal sum ÷ bigint
+    count; the interpolation fraction is a ratio of exact integer
+    second-diffs; prev/next/fraction are then bit-identical doubles in
+    both engines, so the blended value stays UNROUNDED per the
+    identical-operand rule (exprs.py rule 2).
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "value",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_avg("value").alias("avg_value"),
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "bucket"], "left")
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    ctx = filled.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(back).alias("pv"),
+        F.last(known_bucket, ignorenulls=True).over(back).alias("pb"),
+        F.first("avg_value", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(known_bucket, ignorenulls=True).over(fwd).alias("nb"),
+    )
+    frac = (
+        (F.unix_timestamp("bucket") - F.unix_timestamp("pb")).cast("double")
+        / (F.unix_timestamp("nb") - F.unix_timestamp("pb")).cast("double")
+    )
+    return ctx.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        F.when(F.col("n_events").isNotNull(), F.col("avg_value"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("interp_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+_SLIDE_STEP_US = 900_000_000  # 15-minute hop, in microseconds
+_SLIDE_SPAN = 4  # 4 hops = 1-hour trailing window
+
+
+@query(
+    "ts_sliding_distinct",
+    oracle=f"""
+    SELECT make_timestamp((epoch_us(ts) // {_SLIDE_STEP_US}) * {_SLIDE_STEP_US}
+                          + j * {_SLIDE_STEP_US}) AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events, LATERAL (SELECT unnest(range(1, {_SLIDE_SPAN} + 1)) AS j) h
+    GROUP BY 1
+    """,
+    tier="P2",
+)
+def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users over a sliding 1-hour window hopping every
+    15 minutes — the overlap-window cardinality shape (active-user
+    curves) that tumbling windows cannot express and HLL only
+    approximates.
+
+    Each event lands in exactly {_SLIDE_SPAN} trailing windows
+    [end - 1h, end), so the plan is a bounded explode (x{_SLIDE_SPAN})
+    followed by one count-distinct agg keyed on window_end — never a
+    range join of events against a window table, which at 100 TB would
+    be a broadcast-nested-loop over every (event, window) pair.  The
+    window-end arithmetic is pure integer microsecond math, identical
+    in both engines; half-open [end-1h, end) means a tick exactly on a
+    hop boundary belongs to one unambiguous window set.  At scale the
+    expansion multiplies shuffle rows by span/hop — the knob a user
+    tunes — while state per window stays one hash set per
+    count-distinct group, evicted as each window closes.
+    """
+    ev = load(spark, sf_dir, "events")
+    base_us = (
+        F.expr(f"unix_micros(ts) div {_SLIDE_STEP_US}") * _SLIDE_STEP_US
+    )
+    hops = F.explode(F.sequence(F.lit(1), F.lit(_SLIDE_SPAN))).alias("j")
+    return (
+        ev.select(base_us.alias("base_us"), "user_id", hops)
+        .select(
+            F.timestamp_micros(
+                F.col("base_us") + F.col("j").cast("bigint") * _SLIDE_STEP_US
+            ).alias("window_end"),
+            "user_id",
+        )
+        .groupBy("window_end")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("distinct_users"),
+        )
+    )

@@ -80,6 +80,9 @@ def test_extras_are_intentional():
         "win_gaps_islands",
         "layout_zorder_cluster",
         "fn_url_parse",
+        "ts_resample_interp",
+        "ts_sliding_distinct",
+        "sample_importance_weighted",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
