@@ -140,3 +140,41 @@ def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy(band.alias("price_band"), F.col("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM {orders} o
+    WHERE o.o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*)
+           FROM {orders})
+      AND o.o_totalprice >
+          2 * (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,6)))
+                           AS DOUBLE) / COUNT(*)
+               FROM {orders} i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@query(
+    "filter_scalar_subquery",
+    oracle=_SCALAR_SUBQ_SQL.format(orders="orders"),
+    tier="P2",
+)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries in a predicate — one uncorrelated (global
+    average price) and one correlated (the customer's own average):
+    orders beating both the market and 2x their customer's habit.
+
+    Textually identical SQL runs on both engines.  Catalyst lowers the
+    uncorrelated scalar to a one-row broadcast (a single extra agg
+    pass, then a map-side filter) and DECORRELATES the per-customer
+    scalar into an aggregate + equi-join on o_custkey — no per-row
+    re-execution, so at 100 TB the cost is one extra shuffle keyed on
+    the correlation column, identical physics to writing the join by
+    hand.  Both averages are exact decimal sums ÷ counts, so the
+    comparison boundary is the same bit-identical double in both
+    engines (exprs.py rule 1).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pts_ssq_orders")
+    return spark.sql(_SCALAR_SUBQ_SQL.format(orders="pts_ssq_orders"))

@@ -342,3 +342,57 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    WITH f AS (
+        SELECT event_type, event_id, ts, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts, event_id) = 1 AS is_first
+        FROM events
+    )
+    SELECT event_type, event_id,
+           CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_distinct_users
+    FROM f
+    """,
+    tier="P2",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — a frame no
+    engine supports natively (COUNT(DISTINCT) OVER is rejected by both
+    Spark and DuckDB), emulated by the standard two-window algebra:
+    mark each user's FIRST event per type (row_number = 1 over the
+    (type, user) ordering), then running-sum the first-seen flags over
+    the plain (type) ordering.  The cumulative-unique-users curve every
+    growth dashboard plots.
+
+    Two window passes: the first shuffles on (event_type, user_id),
+    the second on event_type.  The second pass's per-partition sort is
+    the scale bound — with a handful of types, at 100 TB the partition
+    key becomes (event_type, day) with closed-day offsets carried
+    forward (same chunking move as ts_gapfill_locf's note), turning an
+    unbounded sort into bounded daily ones.  Ordering ties break on
+    event_id in both engines (§5.3 rule 3).
+    """
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("int")
+    )
+    return flagged.select(
+        "event_type",
+        "event_id",
+        F.sum("is_first").over(w_run).cast("bigint").alias(
+            "running_distinct_users"
+        ),
+    )

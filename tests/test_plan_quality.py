@@ -217,3 +217,55 @@ def test_no_registered_query_emits_complex_output_columns(spark):
         if cols:
             offenders[name] = cols
     assert offenders == {}, offenders
+
+
+def test_sliding_distinct_is_explode_never_range_join(spark):
+    """The sliding-window distinct must be the bounded x4 explode +
+    one agg — never a range join of events against a window table
+    (a BroadcastNestedLoop over every (event, window) pair at scale)."""
+    plan = _plan(all_defs()["ts_sliding_distinct"].fn(spark, SF), "simple", final=True)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_importance_sample_is_map_only_scan(spark):
+    """The weighted-sampling accept test is a codegen filter on the
+    scan: no shuffle, no join, no Python worker may appear."""
+    plan = _plan(
+        all_defs()["sample_importance_weighted"].fn(spark, SF), "simple", final=True
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_zorder_interleave_stays_in_codegen_single_shuffle(spark):
+    """The Morton interleave is unrolled integer arithmetic inside
+    whole-stage codegen; the only exchange is the final aggregate's."""
+    plan = _plan(
+        all_defs()["layout_zorder_cluster"].fn(spark, SF), "simple", final=True
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "Python" not in final_plan
+    assert final_plan.count("Exchange hashpartitioning") == 1
+    assert "*(" in final_plan
+
+
+def test_bitmap_distinct_never_expands_raw_ids(spark):
+    """The bitmap path must not fall back to count-distinct's Expand
+    over raw ids: distinctness is absorbed by the per-bucket bitmaps,
+    and the rollup re-aggregates bitmap bytes only."""
+    plan = _plan(all_defs()["agg_bitmap_distinct"].fn(spark, SF), "simple", final=True)
+    assert "Expand" not in plan
+
+
+def test_scalar_subqueries_are_decorrelated(spark):
+    """Catalyst must lower the correlated per-customer average to an
+    aggregate + join on the correlation key — a surviving correlated
+    subquery would re-execute per row."""
+    plan = _plan(
+        all_defs()["filter_scalar_subquery"].fn(spark, SF), "simple", final=True
+    )
+    assert "Subquery" not in plan or "Join" in plan
+    assert "CartesianProduct" not in plan

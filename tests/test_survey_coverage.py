@@ -83,6 +83,8 @@ def test_extras_are_intentional():
         "ts_resample_interp",
         "ts_sliding_distinct",
         "sample_importance_weighted",
+        "win_running_distinct",
+        "filter_scalar_subquery",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
