@@ -304,3 +304,84 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yb").cast("bigint").alias("max_day_bucket"),
         )
     )
+
+
+_DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def _snapshot_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-generation manifest table of documents: generation 1
+    holds even doc_ids, generation 2 appends the odd ones.  Each
+    snapshot manifest is the full FILE LIST visible at that version —
+    the same mechanism (minus stats) as an Iceberg/Delta snapshot."""
+    import json
+
+    out = tempfile.mkdtemp(prefix="pts_snap_docs_")
+    docs = load(spark, sf_dir, "documents")
+    g1 = os.path.join(out, "g1")
+    g2 = os.path.join(out, "g2")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(g1)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(g2)
+    files_of = lambda d: sorted(glob.glob(os.path.join(d, "*.parquet")))  # noqa: E731
+    manifests = {
+        "v1": files_of(g1),
+        "v2": files_of(g1) + files_of(g2),
+    }
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(manifests, f)
+    return out
+
+
+def read_snapshot(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
+    """Time-travel read: load exactly the files the manifest listed at
+    ``version`` — files appended by later generations are invisible,
+    so the read is snapshot-isolated against concurrent appends."""
+    import json
+
+    with open(os.path.join(table_dir, "manifest.json")) as f:
+        files = json.load(f)[version]
+    return spark.read.schema(_DOCS_DDL).parquet(*files)
+
+
+@query(
+    "scan_snapshot_time_travel",
+    oracle="""
+    SELECT 'v1' AS snapshot, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 'v2' AS snapshot, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tier="P2",
+)
+def scan_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated time travel over a manifest-listed parquet
+    table: the same aggregate at version v1 (before an append) and v2
+    (after) — the mechanism behind reproducible training snapshots
+    ("train on the corpus exactly as of manifest N" while ingestion
+    keeps appending).
+
+    A snapshot is a file list, so time travel costs a manifest read
+    plus a scan of exactly those files — no copy, no delete, and old
+    versions stay readable until their files are vacuumed.  At 100 TB
+    this is what a table format (Iceberg/Delta) maintains with stats
+    and atomic swaps; the operator demonstrates the read path on plain
+    parquet with declared schemas, and the append between v1 and v2
+    never rewrites generation-1 files (asserted by v1's answer being
+    unchanged under the oracle).
+    """
+    table_dir = _snapshot_table_dir(spark, sf_dir)
+    outs = []
+    for version in ("v1", "v2"):
+        snap = read_snapshot(spark, table_dir, version)
+        outs.append(
+            snap.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+            ).select(F.lit(version).alias("snapshot"), "lang", "n_docs", "total_chars")
+        )
+    return outs[0].unionByName(outs[1])

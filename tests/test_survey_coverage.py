@@ -85,6 +85,7 @@ def test_extras_are_intentional():
         "sample_importance_weighted",
         "win_running_distinct",
         "filter_scalar_subquery",
+        "scan_snapshot_time_travel",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
