@@ -405,3 +405,149 @@ def test_approx_topk_states_merge_like_exact_counts(spark):
         .collect()
     )
     assert got == {(r.token, r.n) for r in exact}
+
+
+def test_bitmap_distinct_equals_exact_countdistinct(spark):
+    """The bitmap path is EXACT: per-type and merged-ALL counts must
+    equal countDistinct computed the expansion way."""
+    from powertrainstreaming_spark.operators.aggregates import agg_bitmap_distinct
+
+    got = {r["event_type"]: r["exact_users"] for r in agg_bitmap_distinct(spark, SF).collect()}
+    ev = load(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert got == exact
+
+
+def test_entropy_bounds_and_uniform_maximum(spark):
+    """0 <= H <= log2(n_distinct) for every doc, with equality only in
+    the degenerate/uniform cases."""
+    import math
+
+    from powertrainstreaming_spark.operators.text import text_entropy
+
+    rows = text_entropy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ub = math.log2(r["n_distinct"]) if r["n_distinct"] > 1 else 0.0
+        assert -1e-9 <= r["entropy_bits"] <= ub + 1e-6
+
+
+def test_sliding_distinct_dominates_tumbling(spark):
+    """Each 1h sliding window covers four 15-min hops, so its distinct
+    count must be >= the max 15-min tumbling distinct inside it and
+    <= their sum."""
+    from powertrainstreaming_spark.operators.timeseries import ts_sliding_distinct
+
+    sliding = {r["window_end"]: r["distinct_users"] for r in ts_sliding_distinct(spark, SF).collect()}
+    ev = load(spark, SF, "events")
+    tumb = {
+        r["w"]: r["n"]
+        for r in ev.groupBy(
+            F.expr("timestamp_micros((unix_micros(ts) div 900000000) * 900000000)").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    import datetime
+
+    hop = datetime.timedelta(minutes=15)
+    for end, d in sliding.items():
+        parts = [tumb.get(end - k * hop, 0) for k in range(1, 5)]
+        assert max(parts) <= d <= sum(parts)
+
+
+def test_zorder_buckets_bound_both_dimension_spans(spark):
+    """Within one coarse z-bucket (64 z-cells) both dimensions' spans
+    are bounded (<=112 by Morton geometry: the 6 low bits free 3 bits
+    of each dimension, plus carry effects at the bucket edge), far
+    below the 255 full-domain span a 1-D sort leaves on its trailing
+    dimension."""
+    from powertrainstreaming_spark.operators.maintenance import layout_zorder_cluster
+
+    rows = layout_zorder_cluster(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["max_cust_bucket"] - r["min_cust_bucket"] <= 112
+        assert r["max_day_bucket"] - r["min_day_bucket"] <= 112
+
+
+def test_importance_sample_rate_tracks_weights(spark):
+    """The realized keep-rate must track sum(min(1, w/1000))/n within
+    a loose concentration bound, and every kept row must satisfy its
+    own accept inequality."""
+    from powertrainstreaming_spark.operators.sampling import (
+        _IMP_MOD,
+        _IMP_SCALE,
+        sample_importance_weighted,
+    )
+
+    docs = load(spark, SF, "documents")
+    expected = (
+        docs.select(
+            F.least(F.col("n_chars") * _IMP_SCALE, F.lit(_IMP_MOD)).alias("t")
+        ).agg((F.sum("t") / F.lit(_IMP_MOD)).alias("e"))
+    ).collect()[0]["e"]
+    kept = sample_importance_weighted(spark, SF).collect()
+    for r in kept:
+        assert r["u"] < r["threshold"]
+    n = len(kept)
+    assert abs(n - expected) < 5 * (expected ** 0.5) + 10
+
+
+def test_running_distinct_final_equals_countdistinct(spark):
+    """The last running value per type must equal the plain distinct
+    count, and the series must be non-decreasing."""
+    from powertrainstreaming_spark.operators.windows import win_running_distinct
+
+    df = win_running_distinct(spark, SF)
+    final = {
+        r["event_type"]: r["m"]
+        for r in df.groupBy("event_type").agg(F.max("running_distinct_users").alias("m")).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert final == exact
+
+
+def test_snapshot_v1_is_frozen_subset_of_v2(spark):
+    """Time travel: v1's per-lang counts never exceed v2's, and v2
+    equals the full table."""
+    from powertrainstreaming_spark.operators.maintenance import scan_snapshot_time_travel
+
+    rows = scan_snapshot_time_travel(spark, SF).collect()
+    v1 = {r["lang"]: r["n_docs"] for r in rows if r["snapshot"] == "v1"}
+    v2 = {r["lang"]: r["n_docs"] for r in rows if r["snapshot"] == "v2"}
+    full = {
+        r["lang"]: r["n"]
+        for r in load(spark, SF, "documents").groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert v2 == full
+    assert all(v1.get(lang, 0) <= n for lang, n in v2.items())
+
+
+def test_interp_agrees_with_locf_on_observed_buckets(spark):
+    """On non-gap grid rows both fill strategies must emit the exact
+    observed hourly mean; on gap rows the interpolation must lie
+    between the neighboring observed values."""
+    from powertrainstreaming_spark.operators.timeseries import (
+        ts_gapfill_locf,
+        ts_resample_interp,
+    )
+
+    locf = {(r["event_type"], r["bucket"]): r for r in ts_gapfill_locf(spark, SF).collect()}
+    interp = {(r["event_type"], r["bucket"]): r for r in ts_resample_interp(spark, SF).collect()}
+    assert locf.keys() == interp.keys()
+    for k, ri in interp.items():
+        rl = locf[k]
+        assert ri["is_gap"] == rl["is_gap"]
+        if not ri["is_gap"]:
+            assert ri["interp_value"] == rl["filled_value"]
