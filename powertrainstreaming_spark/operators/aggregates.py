@@ -569,3 +569,80 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "exact_users")
     )
     return per_type.unionByName(merged)
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS top_order,
+           arg_min(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS bottom_order,
+           max(o_totalprice) AS top_price,
+           min(o_totalprice) AS bottom_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tier="P2",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregation (max_by / min_by): which order is the
+    most/least expensive per status — the one-pass answer to "give me
+    the row that attains the extreme", replacing the window-rank +
+    filter detour.
+
+    Determinism trap: max_by ties on the ordering value are
+    engine-nondeterministic, so the ordering key embeds a unique
+    tiebreak — exact integer cents (round(price*100): 2-decimal money
+    times 100 is within 1e-9 of an integer, so both engines' round
+    agree) scaled and added to the orderkey.  One partial+final agg,
+    no window, no shuffle beyond the group keys — the cheapest argmax
+    at any scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    okey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", okey).alias("top_order"),
+        F.min_by("o_orderkey", okey).alias("bottom_order"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+@query(
+    "agg_bool_countif",
+    oracle="""
+    SELECT user_id,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           bool_or(event_type = 'error') AS any_error,
+           bool_and(value IS NOT NULL) AS all_valued,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tier="P2",
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: count_if / any (bool_or) / every (bool_and)
+    per user — the predicate-rollup surface (did this user ever error?
+    how many purchases?) that turns flag columns into cohort features.
+
+    All three are single-bit accumulators in the partial agg — the
+    shuffle carries one bool/int64 per (partition, user), making this
+    the cheapest possible per-key profile at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").cast("bigint").alias(
+            "n_purchases"
+        ),
+        F.bool_or(F.col("event_type") == "error").alias("any_error"),
+        F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

@@ -396,3 +396,39 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_distinct_users"
         ),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_best_order
+    FROM orders
+    """,
+    tier="P2",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame: each customer's
+    SECOND-most-expensive order (NULL for single-order customers) —
+    the "runner-up" shape that first/last can't express.
+
+    The full-partition frame forces a real frame evaluation (not the
+    running default), ordered with the unique o_orderkey tiebreak; the
+    DISTINCT collapse emits one row per customer.  One shuffle on
+    o_custkey; per-partition state is the sort buffer, bounded by
+    orders-per-customer.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
+    ).distinct()

@@ -86,6 +86,9 @@ def test_extras_are_intentional():
         "win_running_distinct",
         "filter_scalar_subquery",
         "scan_snapshot_time_travel",
+        "agg_minmax_by",
+        "agg_bool_countif",
+        "win_nth_value",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
