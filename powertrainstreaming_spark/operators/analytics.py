@@ -12,7 +12,7 @@ handles any residual skew).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import query
@@ -230,3 +230,57 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     wide = orders.agg(*aggs)
     return wide.select(F.explode(F.array(*fields)).alias("p")).select("p.*")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_state,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_state
+        FROM events
+    ),
+    counts AS (
+        SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_state IS NOT NULL
+        GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           CAST(n AS DOUBLE)
+           / SUM(n) OVER (PARTITION BY from_state) AS p_transition
+    FROM counts
+    """,
+    tier="P2",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind next-action prediction, anomaly scoring (improbable
+    transitions), and funnel-shape discovery.
+
+    One lead() window keyed on user (ties broken by event_id, §5.3
+    rule 3) produces the bigrams; the matrix is a |states|² aggregate,
+    so the heavy shuffle is the per-user window and the normalization
+    runs over the tiny counts table.  The probability is an exact
+    bigint ratio — identical operands in both engines, so it stays
+    UNROUNDED (exprs.py rule 2).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_norm = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_norm)).alias(
+            "p_transition"
+        ),
+    )

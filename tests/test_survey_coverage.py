@@ -89,6 +89,7 @@ def test_extras_are_intentional():
         "agg_minmax_by",
         "agg_bool_countif",
         "win_nth_value",
+        "events_markov_transitions",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
