@@ -94,6 +94,12 @@ def main() -> None:
         "dedup_exact": defs["dedup_exact"].fn,
         "fn_json": defs["fn_json"].fn,
         "sim_topk_per_query": defs["sim_topk_per_query"].fn,
+        "agg_bitmap_distinct": defs["agg_bitmap_distinct"].fn,
+        "ts_sliding_distinct": defs["ts_sliding_distinct"].fn,
+        "layout_zorder_cluster": defs["layout_zorder_cluster"].fn,
+        "index_inverted_postings": defs["index_inverted_postings"].fn,
+        "text_entropy": defs["text_entropy"].fn,
+        "events_markov_transitions": defs["events_markov_transitions"].fn,
     }
 
     spark = get_spark(app_name="pts-scale-probe")
