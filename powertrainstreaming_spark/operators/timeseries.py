@@ -550,3 +550,74 @@ def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("bigint").alias("distinct_users"),
         )
     )
+
+
+@query(
+    "ts_linreg_trend",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_diff('hour', TIMESTAMP '2024-01-01',
+                         date_trunc('hour', ts)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM hourly GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           round((n_hours * sxy - sx * sy)
+                 / (n_hours * sxx - sx * sx), 6) AS slope_per_hour,
+           round((sy - (n_hours * sxy - sx * sy)
+                       / (n_hours * sxx - sx * sx) * sx)
+                 / n_hours, 6) AS intercept
+    FROM sums
+    """,
+    tier="P2",
+)
+def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel OLS trend: regress the hourly event rate on the
+    hour index — is traffic on this channel growing, and how fast?
+    (closed-form slope/intercept; the drift detector telemetry
+    dashboards run per metric).
+
+    Same exactness discipline as ts_corr_channels: x (hour index
+    since 2024-01-01) and y (hourly count) are exact BIGINTs, the four
+    moments are exact bigint sums, and the closed form is evaluated
+    over bit-identical doubles in both engines — regr_slope()/avg()
+    builtins are never used because their accumulation orders differ.
+    Only the final values are rounded.  Cost: raw events collapse to
+    (type, hour) map-side; the regression runs over |types| rows of
+    moments.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.expr(
+            "(unix_micros(date_trunc('hour', ts))"
+            " - unix_micros(timestamp'2024-01-01')) div 3600000000"
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    sums = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_hours")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        "event_type",
+        "n_hours",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -90,6 +90,7 @@ def test_extras_are_intentional():
         "agg_bool_countif",
         "win_nth_value",
         "events_markov_transitions",
+        "ts_linreg_trend",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
