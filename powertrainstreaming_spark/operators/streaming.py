@@ -391,6 +391,13 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-defined state tuple, updated per micro-batch via
     applyInPandasWithState and re-emitted on every change.
 
+    API choice: Spark 4's transformWithStateInPandas supersedes this
+    API upstream, but its Python driver worker needs google.protobuf
+    (probed in-session: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+    ImportError google.protobuf), which this offline container lacks —
+    applyInPandasWithState has no such dependency and expresses the
+    identical per-key state contract, so it is the supported path here.
+
     The split two-file source forces TWO micro-batches, so state
     genuinely persists and updates across batches.  The sink collapse
     (max of monotone running values per user) is what an upsert sink

@@ -87,3 +87,39 @@ def test_money_sum_cross_engine(spark, rows):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_morton_interleave_cross_engine(spark, pairs):
+    """The unrolled Z-order interleave (maintenance._Z_SPARK /
+    _Z_DUCK) equals the reference bit-interleave in Python, in Spark,
+    and in DuckDB, for arbitrary 8-bit inputs — including 0, 255, and
+    single-bit patterns hypothesis converges on."""
+    from powertrainstreaming_spark.operators.maintenance import _Z_DUCK, _Z_SPARK
+
+    def ref(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expected = [ref(x, y) for x, y in pairs]
+    df = spark.createDataFrame(pairs, "xb BIGINT, yb BIGINT")
+    got_spark = [r.z for r in df.selectExpr(f"({_Z_SPARK}) AS z").collect()]
+    assert got_spark == expected
+    con = _duck()
+    con.sql("CREATE TABLE t(xb BIGINT, yb BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    got_duck = [r[0] for r in con.sql(f"SELECT {_Z_DUCK} FROM t").fetchall()]
+    assert got_duck == expected
