@@ -284,3 +284,69 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               max(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_us
+        FROM events
+    )
+    SELECT event_id AS purchase_event, user_id, ts AS purchase_ts, value,
+           make_timestamp(last_click_us) AS attributed_click_ts,
+           last_click_us IS NOT NULL
+             AND epoch_us(ts) - last_click_us <= {_ATTR_WINDOW_US}
+               AS attributed
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+    tier="P2",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent PRECEDING click within a 7-day lookback — the
+    conversion-attribution join every growth/ads pipeline runs.
+
+    Expressed as a single ordered window instead of a self-join: the
+    running max of click timestamps over ROWS ... 1 PRECEDING gives
+    the strictly-previous touch in one pass, so one user-keyed shuffle
+    replaces the purchase x click as-of join (and unlike a range
+    self-join, cost never multiplies when a user has many clicks).
+    Timestamp comparison happens in exact epoch microseconds; ordering
+    ties break on event_id in both engines (§5.3 rule 3).  At 100 TB
+    the mixed stream windows by (user, month-chunk) with a carried
+    last-click seed, same chunking move as the running windows.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click_us = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts")))
+    ).over(w)
+    marked = ev.withColumn("last_click_us", last_click_us)
+    return marked.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "value",
+        F.timestamp_micros(F.col("last_click_us")).alias("attributed_click_ts"),
+        (
+            F.col("last_click_us").isNotNull()
+            & (
+                (F.unix_micros(F.col("ts")) - F.col("last_click_us"))
+                <= _ATTR_WINDOW_US
+            )
+        ).alias("attributed"),
+    )

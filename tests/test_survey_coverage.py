@@ -91,6 +91,7 @@ def test_extras_are_intentional():
         "win_nth_value",
         "events_markov_transitions",
         "ts_linreg_trend",
+        "events_attribution_last_touch",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
