@@ -169,11 +169,14 @@ def _prefix_candidates(toks: DataFrame) -> DataFrame:
     size-ratio filter (τ·max ≤ min) applied in the join condition.
     """
     sizes = _token_set_sizes(toks)
-    # Global rarity order: document frequency per token (tiny: one row
-    # per vocabulary word — broadcast everywhere).
+    # Global rarity order: document frequency per token — one row per
+    # vocabulary word.  NOT hint-broadcast: vocabulary grows with the
+    # corpus (Heaps' law never fully saturates on web text — typos,
+    # URLs, numbers), and an explicit hint overrides the size check;
+    # AQE broadcasts it while it fits and shuffles on token past that.
     df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
-        toks.join(F.broadcast(df_), "token")
+        toks.join(df_, "token")
         .join(sizes, "doc_id")
         .withColumn(
             "pos",

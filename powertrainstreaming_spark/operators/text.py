@@ -178,9 +178,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency per source, document frequency per term) joined and
     scored, window top-k with token tiebreak.
 
-    The df side is tiny (vocabulary) — Catalyst broadcasts it into the
-    tf join; at 100 TB the vocabulary still fits in a broadcast, which
-    is exactly why tf-idf scales as two aggregations + a map-side join.
+    The df side is one row per vocabulary word — small, but it GROWS
+    with the corpus (web-text vocabularies never saturate: typos,
+    URLs, numbers), so it carries no broadcast hint; AQE broadcasts it
+    while it fits and falls back to a token-keyed shuffle join past
+    that.  Either way tf-idf scales as two aggregations + one join.
     """
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar: vocabulary-level constant, not data
@@ -189,7 +191,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").select(
+    scored = tf.join(df_, "token").select(
         "source",
         "token",
         "tf",
