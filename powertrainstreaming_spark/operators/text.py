@@ -185,19 +185,25 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     that.  Either way tf-idf scales as two aggregations + one join.
     """
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar: vocabulary-level constant, not data
+    # N as an in-plan 1-row broadcast, not a driver-side count(): the
+    # builder stays action-free and N rides the same job as the score.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "token").select(
-        "source",
-        "token",
-        "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
