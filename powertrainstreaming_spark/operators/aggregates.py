@@ -574,16 +574,24 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_minmax_by",
     oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC,
+                                           o_orderkey DESC) AS rn_top,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice ASC,
+                                           o_orderkey ASC) AS rn_bot
+        FROM orders
+    )
     SELECT o_orderstatus,
-           arg_max(o_orderkey,
-                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
-                   + o_orderkey) AS top_order,
-           arg_min(o_orderkey,
-                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
-                   + o_orderkey) AS bottom_order,
+           CAST(MAX(CASE WHEN rn_top = 1 THEN o_orderkey END)
+                AS BIGINT) AS top_order,
+           CAST(MAX(CASE WHEN rn_bot = 1 THEN o_orderkey END)
+                AS BIGINT) AS bottom_order,
            max(o_totalprice) AS top_price,
            min(o_totalprice) AS bottom_price
-    FROM orders
+    FROM ranked
     GROUP BY o_orderstatus
     """,
     tier="P2",
@@ -592,21 +600,20 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARGMAX/ARGMIN aggregation (max_by / min_by): which order is the
     most/least expensive per status — the one-pass answer to "give me
     the row that attains the extreme", replacing the window-rank +
-    filter detour.
+    filter detour (the oracle IS that detour, verifying the one-pass
+    aggregate against the two-window formulation).
 
     Determinism trap: max_by ties on the ordering value are
-    engine-nondeterministic, so the ordering key embeds a unique
-    tiebreak — exact integer cents (round(price*100): 2-decimal money
-    times 100 is within 1e-9 of an integer, so both engines' round
-    agree) scaled and added to the orderkey.  One partial+final agg,
-    no window, no shuffle beyond the group keys — the cheapest argmax
-    at any scale.
+    engine-nondeterministic, so the ordering key is the STRUCT
+    (price, orderkey) — lexicographic comparison makes orderkey the
+    tiebreak with no arithmetic packing (an integer-packed key like
+    cents*K + orderkey silently stops being order-preserving once
+    orderkey reaches K, i.e. exactly at scale).  One partial+final
+    agg, no window, no shuffle beyond the group keys — the cheapest
+    argmax at any scale.
     """
     orders = load(spark, sf_dir, "orders")
-    okey = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000000
-        + F.col("o_orderkey")
-    )
+    okey = F.struct("o_totalprice", "o_orderkey")
     return orders.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", okey).alias("top_order"),
         F.min_by("o_orderkey", okey).alias("bottom_order"),

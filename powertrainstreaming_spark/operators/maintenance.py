@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import query
-from powertrainstreaming_spark.sources.loaders import load
+from powertrainstreaming_spark.sources.loaders import TABLE_DDL, load
 
 _PRUNE_LANGS = ("en", "de")
 
@@ -306,7 +306,9 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+# Snapshot files carry the canonical documents schema — one source of
+# truth in loaders.TABLE_DDL, so fixture evolution can't drift this.
+_DOCS_DDL = TABLE_DDL["documents"]
 
 
 def _snapshot_table_dir(spark: SparkSession, sf_dir: str) -> str:

@@ -756,11 +756,19 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
-    tri = F.expr(
-        "transform(sequence(1, size(t) - 2), "
-        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
-        "element_at(t, i + 2)))"
-    )
+    # Guard size(t) < 3 explicitly: sequence(1, size-2) DESCENDS for
+    # short arrays (sequence(1,0) = [1,0]) and element_at then indexes
+    # past the array — an ANSI-mode job abort on any 1-2-token
+    # document.  The empty-array branch matches the oracle's range(),
+    # which is simply empty below 3 tokens.
+    tri = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2), "
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+            "element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     shingles = docs.withColumn("t", t).select(
         "doc_id", F.explode(tri).alias("shingle")
     )

@@ -571,12 +571,13 @@ def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hourly GROUP BY 1
     )
     SELECT event_type, n_hours,
-           round((n_hours * sxy - sx * sy)
-                 / (n_hours * sxx - sx * sx), 6) AS slope_per_hour,
-           round((sy - (n_hours * sxy - sx * sy)
-                       / (n_hours * sxx - sx * sx) * sx)
-                 / n_hours, 6) AS intercept
+           (n_hours * sxy - sx * sy)
+               / (n_hours * sxx - sx * sx) AS slope_per_hour,
+           (sy - (n_hours * sxy - sx * sy)
+                 / (n_hours * sxx - sx * sx) * sx)
+               / n_hours AS intercept
     FROM sums
+    WHERE n_hours >= 2
     """,
     tier="P2",
 )
@@ -591,9 +592,14 @@ def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are exact bigint sums, and the closed form is evaluated
     over bit-identical doubles in both engines — regr_slope()/avg()
     builtins are never used because their accumulation orders differ.
-    Only the final values are rounded.  Cost: raw events collapse to
-    (type, hour) map-side; the regression runs over |types| rows of
-    moments.
+    The results stay UNROUNDED: identical operands through identical
+    IEEE ops are bit-exact, and rounding identical-operand math only
+    ADDS boundary-divergence risk (exprs.py rule 2).  Channels with a
+    single observed hour are excluded in both dialects — one point
+    fits no line, and the degenerate denominator would be an ANSI
+    DIVIDE_BY_ZERO on the Spark side vs NULL in DuckDB.  Cost: raw
+    events collapse to (type, hour) map-side; the regression runs
+    over |types| rows of moments.
     """
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -615,9 +621,9 @@ def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     intercept = (F.col("sy") - slope * F.col("sx")) / n
-    return sums.select(
+    return sums.filter(n >= 2).select(
         "event_type",
         "n_hours",
-        F.round(slope, 6).alias("slope_per_hour"),
-        F.round(intercept, 6).alias("intercept"),
+        slope.alias("slope_per_hour"),
+        intercept.alias("intercept"),
     )

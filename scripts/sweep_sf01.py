@@ -20,7 +20,8 @@ os.environ["TZ"] = "UTC"
 time.tzset()
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF = "/root/testdata/sf0.1"
+# Same override knob as bench.py, defaulting to the 10x-gate scale.
+SF = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> int:

@@ -119,7 +119,12 @@ def test_morton_interleave_cross_engine(spark, pairs):
     got_spark = [r.z for r in df.selectExpr(f"({_Z_SPARK}) AS z").collect()]
     assert got_spark == expected
     con = _duck()
-    con.sql("CREATE TABLE t(xb BIGINT, yb BIGINT)")
-    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
-    got_duck = [r[0] for r in con.sql(f"SELECT {_Z_DUCK} FROM t").fetchall()]
+    con.sql("CREATE TABLE t(i BIGINT, xb BIGINT, yb BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, x, y) for i, (x, y) in enumerate(pairs)],
+    )
+    got_duck = [
+        r[0] for r in con.sql(f"SELECT {_Z_DUCK} FROM t ORDER BY i").fetchall()
+    ]
     assert got_duck == expected

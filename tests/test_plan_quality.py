@@ -262,10 +262,18 @@ def test_bitmap_distinct_never_expands_raw_ids(spark):
 
 def test_scalar_subqueries_are_decorrelated(spark):
     """Catalyst must lower the correlated per-customer average to an
-    aggregate + join on the correlation key — a surviving correlated
-    subquery would re-execute per row."""
+    aggregate + join on the correlation key: the physical plan carries
+    exactly ONE subquery (the uncorrelated global average, a one-row
+    broadcast) and a hash/sort-merge join on o_custkey — never a
+    nested-loop shape re-evaluating per outer row."""
     plan = _plan(
         all_defs()["filter_scalar_subquery"].fn(spark, SF), "simple", final=True
     )
-    assert "Subquery" not in plan or "Join" in plan
-    assert "CartesianProduct" not in plan
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("+- Subquery subquery") == 1, final_plan
+    assert any(
+        j in final_plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in final_plan
+    assert "CartesianProduct" not in final_plan
