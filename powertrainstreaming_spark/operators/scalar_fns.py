@@ -381,3 +381,40 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_id"),
         F.concat(host, path).alias("canonical_url"),
     )
+
+
+_CI_KEYWORD = "spark"
+
+
+@query(
+    "fn_collation_ci",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE contains(lower(text), '{_CI_KEYWORD}')
+    """,
+    tier="P2",
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): keyword match
+    against a MIXED-CASE rendering of the text under the UTF8_LCASE
+    collation — the engine-level case-insensitivity that replaces
+    scattering lower() over every predicate (and, unlike lower(),
+    composes with equality joins, GROUP BY, and range comparisons on
+    collated columns).
+
+    The text is initcap'd first so the collation genuinely does work
+    (the fixture corpus is already lowercase); the oracle expresses
+    the same predicate as contains(lower(text), kw), equivalent
+    because lower(initcap(x)) = lower(x) for ASCII.  Output columns
+    are the original (binary-collation) ones, so no
+    collation-representative value enters the hashed result.
+    Row-local string predicate: map-only, pushdown-friendly, no
+    shuffle at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    mixed = F.initcap(F.col("text"))
+    hit = F.contains(
+        F.collate(mixed, "UTF8_LCASE"), F.lit(_CI_KEYWORD)
+    )
+    return docs.filter(hit).select("doc_id", "lang", "source", "n_chars")

@@ -92,6 +92,7 @@ def test_extras_are_intentional():
         "events_markov_transitions",
         "ts_linreg_trend",
         "events_attribution_last_touch",
+        "fn_collation_ci",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
