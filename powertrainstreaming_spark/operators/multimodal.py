@@ -56,3 +56,79 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim_round(dot_f("embedding", "embedding")).alias("emb_norm_sq"),
         )
     )
+
+
+_NEG_PER_POS = 2
+_NEG_A = 131
+_NEG_B = 9973
+
+
+@query(
+    "multimodal_contrastive_pairs",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(vec_id) AS max_vec FROM embeddings),
+    pos AS (
+        SELECT d.doc_id, e.vec_id
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    negk AS (
+        SELECT doc_id, j,
+               (doc_id * {_NEG_A} + j * {_NEG_B}) % (max_vec + 1) AS cand
+        FROM pos, mx,
+             LATERAL (SELECT unnest(range(1, {_NEG_PER_POS} + 1)) AS j) u
+        WHERE (doc_id * {_NEG_A} + j * {_NEG_B}) % (max_vec + 1) != doc_id
+    )
+    SELECT doc_id, vec_id, CAST(0 AS BIGINT) AS j, TRUE AS is_positive
+    FROM pos
+    UNION ALL
+    SELECT n.doc_id, e.vec_id, CAST(n.j AS BIGINT) AS j, FALSE AS is_positive
+    FROM negk n JOIN embeddings e ON n.cand = e.vec_id
+    """,
+    tier="P2",
+)
+def multimodal_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction (CLIP-style): each
+    (document, matching embedding) positive plus {_NEG_PER_POS}
+    DETERMINISTIC hash-picked negatives per anchor — the pair builder
+    for contrastive multimodal training, reproducible under
+    re-sharding because negatives come from arithmetic on the anchor
+    id, not an RNG.
+
+    Negative candidates are (doc_id*a + j*b) mod (max_id+1), re-joined
+    to the embeddings table so only EXISTING ids survive (no
+    contiguous-id assumption), with accidental self-matches filtered.
+    max_id rides as an in-plan one-row broadcast.  Cost: the positive
+    equi-join plus one negatives equi-join keyed on the candidate id —
+    per-anchor fan-out is the fixed constant k, so pair volume is
+    k+1 per anchor at any corpus size, never quadratic.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    emb_ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    mx = load(spark, sf_dir, "embeddings").agg(F.max("vec_id").alias("max_vec"))
+    pos = docs.join(emb_ids, docs.doc_id == emb_ids.vec_id).select(
+        "doc_id",
+        "vec_id",
+        F.lit(0).cast("bigint").alias("j"),
+        F.lit(True).alias("is_positive"),
+    )
+    negs = (
+        pos.select("doc_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_PER_POS))).alias("j"),
+            "max_vec",
+        )
+        .withColumn("j", F.col("j").cast("bigint"))
+        .withColumn(
+            "cand",
+            F.pmod(
+                F.col("doc_id") * _NEG_A + F.col("j") * _NEG_B,
+                F.col("max_vec") + 1,
+            ),
+        )
+        .filter(F.col("cand") != F.col("doc_id"))
+        .join(emb_ids, F.col("cand") == F.col("vec_id"))
+        .select("doc_id", "vec_id", "j", F.lit(False).alias("is_positive"))
+    )
+    return pos.unionByName(negs)

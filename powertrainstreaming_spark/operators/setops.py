@@ -110,3 +110,37 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_orders = orders.select("o_custkey")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return with_orders.subtract(urgent)
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars, source
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tier="P2",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: combine an OLD-generation slice
+    (no `source` column yet) with a new-generation slice via
+    unionByName(allowMissingColumns=True) — the DataFrame-side answer
+    to additive schema evolution (`scan_schema_evolution` is the
+    storage-side answer via mergeSchema).
+
+    Positional union would silently mis-align columns the moment two
+    generations order fields differently; name-based union aligns by
+    name and null-fills what the older shard lacks.  Pure narrow op:
+    no shuffle, partitions concatenate, so incremental loads at 100 TB
+    pay nothing beyond the scans.
+    """
+    docs = load(spark, sf_dir, "documents")
+    old_gen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    new_gen = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True)

@@ -93,6 +93,8 @@ def test_extras_are_intentional():
         "ts_linreg_trend",
         "events_attribution_last_touch",
         "fn_collation_ci",
+        "set_union_by_name",
+        "multimodal_contrastive_pairs",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
