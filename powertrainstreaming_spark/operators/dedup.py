@@ -702,3 +702,46 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge in {_CC_MAX_ITERS} rounds"
         )
     return labels
+
+
+@query("dedup_minhash_mllib", oracle=None, tier="P2")
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-interop near-dup pairs: Tokenizer -> binary HashingTF ->
+    ml.feature.MinHashLSH approxSimilarityJoin at the same tau as the
+    hand-rolled pipeline — proving the engine composes with the Spark
+    ML feature stack (the route users with existing ml.Pipeline code
+    take), not only with the hand-built poly-hash operators.
+
+    Rows-only check by design: MinHashLSH's hash family is seeded JVM
+    murmur3 over 1024 hashed features, irreproducible in DuckDB — the
+    property-test layer pins it instead: candidates are generated by
+    banded LSH (never all-pairs), every returned pair's EXACT hashed-
+    feature Jaccard distance is <= the threshold (approxSimilarityJoin
+    verifies candidates exactly), and recall is measured against the
+    `dedup_near_exact` ground truth.  Same scale physics as the
+    hand-rolled MinHash: candidate volume is bounded by band-bucket
+    sizes, and the fit() is a metadata pass (MinHashLSH samples hash
+    coefficients; no data-dependent training job).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    feats = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1024, binary=True
+    ).transform(tokens)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=42
+    ).fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - _JAC_TAU, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )

@@ -551,3 +551,29 @@ def test_interp_agrees_with_locf_on_observed_buckets(spark):
         assert ri["is_gap"] == rl["is_gap"]
         if not ri["is_gap"]:
             assert ri["interp_value"] == rl["filled_value"]
+
+
+def test_mllib_minhash_pairs_verified_and_high_recall(spark):
+    """MLlib MinHashLSH pairs: every pair's exact hashed-feature
+    Jaccard distance respects the threshold, pairs are canonical
+    (a < b, unique), and recall vs the exact-Jaccard ground truth is
+    high (banded LSH may miss a boundary pair; feature-hash collisions
+    may shift a distance, so the bound is <1 but tight)."""
+    from powertrainstreaming_spark.operators.dedup import (
+        _JAC_TAU,
+        dedup_minhash_mllib,
+        dedup_near_exact,
+    )
+
+    ml_pairs = dedup_minhash_mllib(spark, SF).collect()
+    assert ml_pairs
+    seen = set()
+    for r in ml_pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["jaccard_dist"] <= (1.0 - _JAC_TAU) + 1e-9
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+    exact = {(r["doc_a"], r["doc_b"]) for r in dedup_near_exact(spark, SF).collect()}
+    assert exact
+    recall = len(exact & seen) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} true pairs"

@@ -95,6 +95,7 @@ def test_extras_are_intentional():
         "fn_collation_ci",
         "set_union_by_name",
         "multimodal_contrastive_pairs",
+        "dedup_minhash_mllib",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
