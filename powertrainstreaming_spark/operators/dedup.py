@@ -745,3 +745,73 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
+
+
+_FUZZY_HEAD = 20
+_FUZZY_MAX_DIST = 10
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, substr(text, 1, {_FUZZY_HEAD}) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {_FUZZY_MAX_DIST}
+    """,
+    tier="P2",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: document pairs whose leading
+    {_FUZZY_HEAD}-char heads are within Levenshtein distance
+    {_FUZZY_MAX_DIST}, BLOCKED on (lang, source) — the entity-
+    resolution join (same title, typo'd name, near-identical header)
+    that token-set Jaccard misses because edit-level noise preserves
+    few whole tokens.
+
+    Scale discipline: Levenshtein is O(head²) per comparison and
+    cannot be indexed by equality, so the candidate space MUST be
+    blocked — here the equi-join on (lang, source) bounds pairs by
+    Σ|block|², and the head truncation caps the per-pair DP cost.  At
+    100 TB blocks come from a cheap canopy key (sorted-token prefix,
+    phonetic key, zip+name initial); the physics — equi-join first,
+    quadratic verify only within blocks — is this exact plan.  Both
+    engines implement classic unit-cost Levenshtein, so the distance
+    is integer-exact cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, _FUZZY_HEAD).alias("head"),
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("head").alias("head_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("head").alias("head_b"),
+    )
+    dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            "doc_a", "doc_b", "lang", "source", dist.cast("int").alias("edit_dist")
+        )
+    )

@@ -96,6 +96,7 @@ def test_extras_are_intentional():
         "set_union_by_name",
         "multimodal_contrastive_pairs",
         "dedup_minhash_mllib",
+        "dedup_fuzzy_levenshtein",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
