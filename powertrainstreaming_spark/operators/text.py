@@ -831,3 +831,65 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    corpus AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM corpus),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(-SUM(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST(c.cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+                 / CAST(SUM(tf.tf) AS DOUBLE), 6) AS cross_entropy,
+           round(exp(-SUM(CAST(tf.tf AS DOUBLE)
+                          * ln(CAST(c.cnt AS DOUBLE) / CAST(t.n_total AS DOUBLE)))
+                     / CAST(SUM(tf.tf) AS DOUBLE)), 6) AS perplexity
+    FROM tf JOIN corpus c ON tf.token = c.token CROSS JOIN total t
+    GROUP BY tf.doc_id
+    """,
+    tier="P2",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document cross-entropy (and
+    perplexity) against the corpus unigram distribution — the
+    CCNet-style LM-perplexity quality filter (documents whose token
+    distribution is improbable under the corpus model are boilerplate,
+    spam, or wrong-language).
+
+    Two aggregations (corpus counts, per-doc tf), one join on token,
+    and the corpus total rides as an in-plan one-row cross join — no
+    driver-side action.  The corpus-count side grows with vocabulary,
+    so it carries NO broadcast hint (same policy as tf-idf's df side).
+    The probability ratio is exact-int division (bit-identical), but
+    ln/exp take different libm paths and the weighted sum is
+    order-dependent, so the two output values are rounded at 6 per the
+    determinism contract; counts stay exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = corpus.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ln_p = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    scored = tf.join(corpus, "token").crossJoin(F.broadcast(total))
+    n = F.sum("tf").cast("bigint")
+    ce = -F.sum(F.col("tf").cast("double") * ln_p) / n.cast("double")
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

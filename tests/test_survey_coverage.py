@@ -97,6 +97,7 @@ def test_extras_are_intentional():
         "multimodal_contrastive_pairs",
         "dedup_minhash_mllib",
         "dedup_fuzzy_levenshtein",
+        "text_unigram_logprob",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
