@@ -88,7 +88,7 @@ _NEG_B = 9973
 )
 def multimodal_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair construction (CLIP-style): each
-    (document, matching embedding) positive plus {_NEG_PER_POS}
+    (document, matching embedding) positive plus 2 (_NEG_PER_POS)
     DETERMINISTIC hash-picked negatives per anchor — the pair builder
     for contrastive multimodal training, reproducible under
     re-sharding because negatives come from arithmetic on the anchor

@@ -113,11 +113,11 @@ _IMP_MOD = 1_000_000
     SELECT doc_id, lang, source, n_chars,
            CAST({o_poly_hash("CAST(doc_id AS VARCHAR)")} % {_IMP_MOD}
                 AS BIGINT) AS u,
-           CAST(LEAST(n_chars * {_IMP_SCALE},
+           CAST(LEAST(CAST(n_chars AS BIGINT) * {_IMP_SCALE},
                       {_IMP_MOD}) AS BIGINT) AS threshold
     FROM documents
     WHERE {o_poly_hash("CAST(doc_id AS VARCHAR)")} % {_IMP_MOD}
-          < LEAST(n_chars * {_IMP_SCALE}, {_IMP_MOD})
+          < LEAST(CAST(n_chars AS BIGINT) * {_IMP_SCALE}, {_IMP_MOD})
     """,
     tier="P2",
 )
@@ -138,8 +138,10 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     u = poly_hash(F.col("doc_id").cast("string")) % _IMP_MOD
+    # bigint BEFORE the multiply: n_chars * 1000 in 32-bit overflows
+    # for documents longer than ~2.1M chars (ANSI-mode job abort).
     threshold = F.least(
-        F.col("n_chars") * _IMP_SCALE, F.lit(_IMP_MOD)
+        F.col("n_chars").cast("bigint") * _IMP_SCALE, F.lit(_IMP_MOD)
     ).cast("bigint")
     return docs.select(
         "doc_id",

@@ -327,7 +327,8 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
         SELECT doc_id,
-               'https://' || source || '.example.org/' || lang || '/doc-'
+               'https://' || regexp_replace(source, '[^a-z0-9-]', '-', 'g')
+               || '.example.org/' || lang || '/doc-'
                || CAST(doc_id % 50 AS VARCHAR) || '?session='
                || CAST(doc_id AS VARCHAR) || '&ref=mail' AS url
         FROM documents
@@ -357,9 +358,13 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical_url is `dedup_exact` on this column.
     """
     docs = load(spark, sf_dir, "documents")
+    # Sanitize the synthesized host label to [a-z0-9-]: java.net.URI
+    # host rules make parse_url return NULL host for e.g. '_' while the
+    # oracle regex would still match — a latent divergence if fixture
+    # source values ever change (they are clean today).
     url = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        F.regexp_replace(F.col("source"), "[^a-z0-9-]", "-"),
         F.lit(".example.org/"),
         F.col("lang"),
         F.lit("/doc-"),

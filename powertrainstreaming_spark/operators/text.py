@@ -742,7 +742,7 @@ _BOILER_MIN_DOCS = 5
 )
 def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span mining: trigram shingles that occur
-    in >= {_BOILER_MIN_DOCS} distinct documents — the boilerplate
+    in >= 5 (_BOILER_MIN_DOCS) distinct documents — the boilerplate
     detector (headers, footers, license blocks, nav text) that C4-style
     cleaning removes before training.
 

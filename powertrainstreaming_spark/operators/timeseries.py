@@ -519,8 +519,8 @@ def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves) that tumbling windows cannot express and HLL only
     approximates.
 
-    Each event lands in exactly {_SLIDE_SPAN} trailing windows
-    [end - 1h, end), so the plan is a bounded explode (x{_SLIDE_SPAN})
+    Each event lands in exactly 4 trailing windows
+    [end - 1h, end), so the plan is a bounded explode (x4, _SLIDE_SPAN)
     followed by one count-distinct agg keyed on window_end — never a
     range join of events against a window table, which at 100 TB would
     be a broadcast-nested-loop over every (event, window) pair.  The

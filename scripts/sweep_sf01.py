@@ -20,8 +20,12 @@ os.environ["TZ"] = "UTC"
 time.tzset()
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# Same override knob as bench.py, defaulting to the 10x-gate scale.
-SF = os.environ.get("SPARK_GRAFT_SWEEP_DIR", "/root/testdata/sf0.1")
+# Honors bench.py's SPARK_GRAFT_SF_DIR knob; SPARK_GRAFT_SWEEP_DIR is a
+# sweep-specific override that wins when both are set.  Default: 10x gate.
+SF = os.environ.get(
+    "SPARK_GRAFT_SWEEP_DIR",
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+)
 
 
 def main() -> int:
