@@ -28,6 +28,10 @@ from powertrainstreaming_spark.functions.exprs import (
     poly_fold,
     poly_hash,
 )
+from powertrainstreaming_spark.operators.similarity import (
+    _adaptive_cells,
+    _O_ADAPT_CELLS,
+)
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -217,8 +221,10 @@ _MINHASH_B = _MINHASH_K // _MINHASH_R  # 4 bands
 # P(candidate | j) = 1-(1-j^r)^b: ~0.99 at j=0.95, ~0.12 at j=0.65
 # (this corpus's median) — high recall at τ with bounded candidates.
 
-_MINHASH_ORACLE = f"""
-    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+# Shared CTE prefix: tokens → seeded min-hashes → banded signatures.
+# Used verbatim by the full-corpus and incremental oracles so the two
+# stay bit-identical by construction.
+_MINHASH_SIG_CTES = f"""toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
                   FROM documents),
     th AS (SELECT doc_id, {o_poly_hash('token')} AS h FROM toks),
     seeded AS (SELECT doc_id, h, unnest(range(0, {_MINHASH_K})) AS seed FROM th),
@@ -227,7 +233,10 @@ _MINHASH_ORACLE = f"""
            FROM seeded GROUP BY doc_id, seed),
     sigs AS (SELECT doc_id, seed // {_MINHASH_R} AS band,
                     {o_poly_fold(f'list(mh ORDER BY seed)')} AS sig
-             FROM mh GROUP BY doc_id, seed // {_MINHASH_R}),
+             FROM mh GROUP BY doc_id, seed // {_MINHASH_R})"""
+
+_MINHASH_ORACLE = f"""
+    WITH {_MINHASH_SIG_CTES},
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM sigs a JOIN sigs b
                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
@@ -313,10 +322,13 @@ _EMB_TAU = 0.3  # ~p99 of the within-label cosine distribution [MEASURED]
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH pairs AS (
+    WITH c AS (
+        {_O_ADAPT_CELLS}
+    ), pairs AS (
         SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM c a
+        JOIN c b ON a.label = b.label AND a.cell = b.cell
+                AND a.vec_id < b.vec_id
         WHERE round({o_dot('a.embedding', 'b.embedding')}, 6) >= {_EMB_TAU}
     )
     SELECT e.vec_id, e.label
@@ -327,12 +339,16 @@ _EMB_TAU = 0.3  # ~p99 of the within-label cosine distribution [MEASURED]
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate REMOVAL: drop every vector that
-    is ≥ τ similar to a lower-id vector (greedy min-id-wins), keep the
-    rest.
+    is ≥ τ similar to a lower-id vector in its block (greedy
+    min-id-wins), keep the rest.
 
-    Built from the blocked pair join (label-blocked, same discipline as
-    sim_pair_join_threshold) followed by a left-anti join of the corpus
-    against the drop set — the standard two-stage shape of semantic
+    Built from the blocked pair join — blocked on (label, adaptive
+    sign-bit LSH cell), same discipline as sim_pair_join_threshold:
+    the adaptive cell term (cell count doubles as the corpus crosses
+    size thresholds) keeps bucket size bounded as the corpus grows,
+    where label alone (fixed cardinality) would make pair work grow
+    quadratically with scale factor — followed by a left-anti join of
+    the corpus against the drop set.  That is the standard two-stage shape of semantic
     dedup at scale: pair generation is bucket-bounded, and the removal
     pass is a hash anti-join keyed on id.  Greedy-by-id is the
     deterministic policy (true clustering dedup — connected components
@@ -342,18 +358,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from powertrainstreaming_spark.functions.exprs import dot_f, sim_round
 
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
+    cells = _adaptive_cells(emb)
+    a = cells.select(
         F.col("vec_id").alias("keep_id"),
         F.col("label"),
+        F.col("cell"),
         F.col("embedding").alias("emb_a"),
     )
-    b = emb.select(
+    b = cells.select(
         F.col("vec_id").alias("drop_id"),
         F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
         F.col("embedding").alias("emb_b"),
     )
     drops = (
-        a.join(b, (a.label == b.label_b) & (F.col("keep_id") < F.col("drop_id")))
+        a.join(
+            b,
+            (a.label == b.label_b)
+            & (a.cell == b.cell_b)
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
         .filter(sim_round(dot_f("emb_a", "emb_b")) >= _EMB_TAU)
         .select("drop_id")
         .distinct()
@@ -755,51 +779,64 @@ _FUZZY_MAX_DIST = 10
     "dedup_fuzzy_levenshtein",
     oracle=f"""
     WITH d AS (
-        SELECT doc_id, lang, source, substr(text, 1, {_FUZZY_HEAD}) AS head
+        SELECT doc_id, lang, source, substr(text, 1, {_FUZZY_HEAD}) AS head,
+               list_min(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS canopy
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang, a.source,
            CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
     FROM d a JOIN d b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.source = b.source AND a.canopy = b.canopy
+     AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= {_FUZZY_MAX_DIST}
     """,
     tier="P2",
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage: document pairs whose leading
-    {_FUZZY_HEAD}-char heads are within Levenshtein distance
-    {_FUZZY_MAX_DIST}, BLOCKED on (lang, source) — the entity-
-    resolution join (same title, typo'd name, near-identical header)
-    that token-set Jaccard misses because edit-level noise preserves
-    few whole tokens.
+    20-char (_FUZZY_HEAD) heads are within Levenshtein distance
+    10 (_FUZZY_MAX_DIST), BLOCKED on (lang, source, canopy) where the
+    canopy is the alphabetically-least token of the document — the
+    entity-resolution join (same title, typo'd name, near-identical
+    header) that token-set Jaccard misses because edit-level noise
+    preserves few whole tokens.
 
     Scale discipline: Levenshtein is O(head²) per comparison and
     cannot be indexed by equality, so the candidate space MUST be
-    blocked — here the equi-join on (lang, source) bounds pairs by
-    Σ|block|², and the head truncation caps the per-pair DP cost.  At
-    100 TB blocks come from a cheap canopy key (sorted-token prefix,
-    phonetic key, zip+name initial); the physics — equi-join first,
-    quadratic verify only within blocks — is this exact plan.  Both
-    engines implement classic unit-cost Levenshtein, so the distance
-    is integer-exact cross-engine.
+    blocked.  (lang, source) alone is a FIXED-cardinality key, so
+    block size — and pair work, quadratically — would grow with the
+    corpus; the canopy term (the length-1 prefix of the sorted token
+    multiset, the classic sorted-neighborhood/canopy key) has
+    vocabulary-scaled cardinality (Heaps' law: grows with corpus
+    size), keeping blocks bounded as data grows.  Near-identical
+    records share their least token under edit noise unless the typo
+    hits that token itself — the standard canopy recall trade.  The
+    equi-join on the composite key bounds pairs by Σ|block|², and the
+    head truncation caps the per-pair DP cost.  Both engines implement
+    classic unit-cost Levenshtein and byte-order string min, so the
+    distance and the block key are exact cross-engine.
     """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "source",
         F.substring("text", 1, _FUZZY_HEAD).alias("head"),
+        F.array_min(toks).alias("canopy"),
     )
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
         "source",
+        "canopy",
         F.col("head").alias("head_a"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("source").alias("source_b"),
+        F.col("canopy").alias("canopy_b"),
         F.col("head").alias("head_b"),
     )
     dist = F.levenshtein(F.col("head_a"), F.col("head_b"))
@@ -808,6 +845,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("lang") == F.col("lang_b"))
             & (F.col("source") == F.col("source_b"))
+            & (F.col("canopy") == F.col("canopy_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .filter(dist <= _FUZZY_MAX_DIST)

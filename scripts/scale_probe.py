@@ -94,6 +94,16 @@ def main() -> None:
         "dedup_exact": defs["dedup_exact"].fn,
         "fn_json": defs["fn_json"].fn,
         "sim_topk_per_query": defs["sim_topk_per_query"].fn,
+        "sim_pair_join_threshold": defs["sim_pair_join_threshold"].fn,
+        "sim_lsh_rp_pairs": defs["sim_lsh_rp_pairs"].fn,
+        "dedup_embedding_cosine": defs["dedup_embedding_cosine"].fn,
+        "dedup_fuzzy_levenshtein": defs["dedup_fuzzy_levenshtein"].fn,
+        "dedup_near_minhash": defs["dedup_near_minhash"].fn,
+        "dedup_near_exact": defs["dedup_near_exact"].fn,
+        "dedup_near_simhash": defs["dedup_near_simhash"].fn,
+        "corpus_decontam_ngram": defs["corpus_decontam_ngram"].fn,
+        "pipeline_corpus_clean": defs["pipeline_corpus_clean"].fn,
+        "text_tfidf": defs["text_tfidf"].fn,
         "agg_bitmap_distinct": defs["agg_bitmap_distinct"].fn,
         "ts_sliding_distinct": defs["ts_sliding_distinct"].fn,
         "layout_zorder_cluster": defs["layout_zorder_cluster"].fn,
@@ -122,12 +132,15 @@ def main() -> None:
         "are warm wall-clock collect() on local[32].  ratio ≈ 10 ⇒ linear",
         "scaling; well below 10 ⇒ fixed overhead dominates at 1×.",
         "",
-        "Caveat — sim_topk_per_query: naive replication grows each LABEL",
-        "BUCKET 10×, so the blocked pair space grows ~100× (quadratic in",
-        "bucket size, linear in bucket count).  At real scale the blocking",
-        "key keeps buckets FIXED-size (finer IVF/LSH cells as the corpus",
-        "grows), making growth linear — the probe's super-linear ratio is",
-        "a property of the replication, not the plan.",
+        "The cosine family (sim_topk_per_query, sim_pair_join_threshold,",
+        "dedup_embedding_cosine) blocks on (label, ADAPTIVE LSH cell):",
+        "the cell count doubles as the corpus crosses size thresholds",
+        "(16 cells at 2k vectors -> 256 at 20k), so mean bucket size stays",
+        "bounded and blocked-pair work grows ~linearly under replication —",
+        "round 3 measured 14.1x for label-only blocking; the adaptive cell",
+        "is the fix, measured below.  Note replication duplicates each",
+        "vector 10x verbatim, so every replica lands in the SAME cell —",
+        "the probe is the adversarial case, not the friendly one.",
         "",
         "| operator | 1× (s) | 10× (s) | ratio |",
         "|---|---|---|---|",

@@ -577,3 +577,29 @@ def test_mllib_minhash_pairs_verified_and_high_recall(spark):
     assert exact
     recall = len(exact & seen) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
+def test_approx_distinct_within_relative_error_of_exact(spark):
+    """agg_approx_distinct (rows-only in t2: HLL++ sketch != DuckDB's)
+    must still be NUMERICALLY honest: every per-type estimate within a
+    conservative 3*rsd (rsd=0.02 -> 6%) of exact countDistinct, and
+    n_events exact.  This is the error contract a 100 TB user relies
+    on when they swap countDistinct for the sketch."""
+    from powertrainstreaming_spark.operators.aggregates import agg_approx_distinct
+
+    approx = {
+        r.event_type: (r.approx_users, r.n_events)
+        for r in agg_approx_distinct(spark, SF).collect()
+    }
+    ev = load(spark, SF, "events")
+    exact = {
+        r.event_type: (r.u, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (u, n) in exact.items():
+        est, n_est = approx[et]
+        assert n_est == n, (et, n_est, n)
+        assert abs(est - u) / u <= 3 * 0.02, (et, est, u)
