@@ -11,6 +11,7 @@ from powertrainstreaming_spark.operators import (  # noqa: F401
     corpus,
     dedup,
     filters,
+    graph,
     joins,
     maintenance,
     multimodal,

@@ -350,3 +350,64 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("attributed"),
     )
+
+
+_SEQ_PATTERN = "s.*c.*p"  # signup, later a click, later a purchase
+
+
+@query(
+    "events_sequence_pattern",
+    oracle=f"""
+    WITH j AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, journey,
+           regexp_matches(journey, '{_SEQ_PATTERN}') AS matched
+    FROM j
+    """,
+    tier="P2",
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE shape expressed as regex-over-encoded-history:
+    each user's events collapse (ordered by ts, event_id) into a
+    string of event-type initials, and the pattern 's.*c.*p' asks
+    "signup, then later a click, then later a purchase" — the same
+    semantics as events_funnel's chained joins, in one aggregation
+    plus a map-side regex instead of three self-joins.
+
+    The two formulations trade differently at scale: the funnel's
+    chained joins re-shuffle per stage but never materialize history;
+    the journey string is one user_id shuffle total but carries
+    per-user history (bounded by per-entity activity — the same
+    per-key contract as sessionization).  Initials are unambiguous
+    here ([MEASURED] click/error/purchase/signup/view); production
+    corpora map types to single codepoints explicitly.  Both engines
+    agg in identical (ts, event_id) order and RE2-class regex
+    semantics agree on this pattern, so the full row hash matches.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    journey = F.array_join(
+        F.transform(seq, lambda s: F.substring(s.getField("event_type"), 1, 1)),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            journey.alias("journey"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "journey",
+            F.col("journey").rlike(_SEQ_PATTERN).alias("matched"),
+        )
+    )

@@ -221,6 +221,35 @@ _MINHASH_B = _MINHASH_K // _MINHASH_R  # 4 bands
 # P(candidate | j) = 1-(1-j^r)^b: ~0.99 at j=0.95, ~0.12 at j=0.65
 # (this corpus's median) — high recall at τ with bounded candidates.
 
+def _minhash_band_sigs(toks: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) banded MinHash signatures — the Spark twin
+    of _MINHASH_SIG_CTES, shared by the full-corpus and incremental
+    near-dup joins.  k=32 (_MINHASH_K) seeded min-hashes via the
+    exact-int64 seed family h_i(t) = ((2i+1)·H(t) + i) mod p, folded
+    into 4 bands (_MINHASH_B) of 8 rows (_MINHASH_R)."""
+    th = toks.select("doc_id", poly_hash("token").alias("h"))
+    seeded = th.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)))
+    )
+    mh = seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            ((2 * F.col("seed") + 1) * F.col("h") + F.col("seed")) % POLY_M
+        ).alias("mh")
+    )
+    return (
+        mh.withColumn("band", (F.col("seed") / F.lit(_MINHASH_R)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            poly_fold(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.getField("mh"),
+                )
+            ).alias("sig")
+        )
+    )
+
+
 # Shared CTE prefix: tokens → seeded min-hashes → banded signatures.
 # Used verbatim by the full-corpus and incremental oracles so the two
 # stay bit-identical by construction.
@@ -276,27 +305,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision probability rather than corpus size.
     """
     toks = _doc_tokens(spark, sf_dir)
-    th = toks.select("doc_id", poly_hash("token").alias("h"))
-    seeded = th.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)))
-    )
-    mh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            ((2 * F.col("seed") + 1) * F.col("h") + F.col("seed")) % POLY_M
-        ).alias("mh")
-    )
-    sigs = (
-        mh.withColumn("band", (F.col("seed") / F.lit(_MINHASH_R)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            poly_fold(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.getField("mh"),
-                )
-            ).alias("sig")
-        )
-    )
+    sigs = _minhash_band_sigs(toks)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
@@ -853,3 +862,160 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "lang", "source", dist.cast("int").alias("edit_dist")
         )
     )
+
+
+_INCR_MOD = 10  # doc_id % 10 == 0 → the simulated "new batch" (~10%)
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_MINHASH_SIG_CTES},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sigs a JOIN sigs b
+               ON a.band = b.band AND a.sig = b.sig
+              AND a.doc_id % {_INCR_MOD} = 0
+              AND b.doc_id % {_INCR_MOD} <> 0),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM cand c
+              JOIN toks a ON a.doc_id = c.doc_a
+              JOIN toks b ON b.doc_id = c.doc_b AND a.token = b.token
+              GROUP BY 1, 2)
+    SELECT doc_a AS new_doc_id, doc_b AS ref_doc_id,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JAC_TAU}
+    """,
+    tier="P2",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection: which documents of a new ingest
+    batch near-duplicate the EXISTING reference corpus — the shape
+    production pipelines actually run daily (full-corpus re-dedup is a
+    backfill; day-to-day work is new-batch × reference).  The batch is
+    simulated deterministically as doc_id % 10 == 0 (~10%).
+
+    Candidate generation is the same banded-MinHash equi-join as
+    dedup_near_minhash (shared _minhash_band_sigs /_MINHASH_SIG_CTES),
+    but the band join is ASYMMETRIC: new-side signatures against
+    reference-side signatures only.  No ref×ref pairs are ever formed,
+    so per-ingest cost is O(|batch| + collisions), not O(|corpus|²) —
+    at 100 TB the reference signatures are a persisted table partitioned
+    by (band, sig) (4 ints per doc per band), the daily job scans only
+    signature partitions the batch's bands touch, and the raw reference
+    text is fetched by id for the survivors alone.  Exact-Jaccard
+    verification and τ are identical to the full-corpus twin, so
+    incremental output ⊆ full output restricted to new×ref pairs (the
+    subset law a user migrating between the two relies on).
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    sigs = _minhash_band_sigs(toks)
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    sa = sigs.filter(is_new).select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    sb = sigs.filter(~is_new).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    candidates = (
+        sa.join(
+            sb,
+            (F.col("band") == F.col("band_b")) & (F.col("sig") == F.col("sig_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(toks, candidates)
+        .filter(F.col("jaccard") >= _JAC_TAU)
+        .select(
+            F.col("doc_a").alias("new_doc_id"),
+            F.col("doc_b").alias("ref_doc_id"),
+            "jaccard",
+        )
+    )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS i
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JAC_TAU}
+    ),
+    meta AS (SELECT doc_id, n_chars FROM documents),
+    drops AS (
+        SELECT DISTINCT CASE
+            WHEN ma.n_chars > mb.n_chars
+                 OR (ma.n_chars = mb.n_chars AND ma.doc_id < mb.doc_id)
+            THEN p.doc_b ELSE p.doc_a END AS doc_id
+        FROM pairs p
+        JOIN meta ma ON ma.doc_id = p.doc_a
+        JOIN meta mb ON mb.doc_id = p.doc_b
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)
+    """,
+    tier="P2",
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal with a QUALITY-AWARE keep policy: for every
+    exact-Jaccard ≥ τ pair, drop the SHORTER member (n_chars, doc_id
+    tiebreak) — the curation policy production pipelines actually
+    want (min-id-wins keeps whichever copy happened to be ingested
+    first; keep-longest keeps the most complete version of a
+    boilerplate-trimmed / truncated duplicate family).
+
+    Pair generation reuses the PPJoin prefix-filtered candidates
+    (never all-pairs; _prefix_candidates); the keep policy is a pure
+    per-pair expression (one loser per pair, deduped), and the removal
+    is a hash anti-join on doc_id — so swapping keep policy costs
+    NOTHING in plan shape vs dedup-by-id: same shuffles, same anti-
+    join, only the CASE changes.  Greedy one-pass semantics: a doc is
+    dropped if ANY better near-dup partner exists, matching the
+    min-id-wins twin's semantics under a different order; n_chars ties
+    break by doc_id so the loser is always unique and deterministic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _doc_tokens(spark, sf_dir)
+    pairs = _pair_jaccard(toks, _prefix_candidates(toks)).filter(
+        F.col("jaccard") >= _JAC_TAU
+    )
+    meta = docs.select("doc_id", "n_chars")
+    ma = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a")
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("chars_b")
+    )
+    a_better = (F.col("chars_a") > F.col("chars_b")) | (
+        (F.col("chars_a") == F.col("chars_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+    )
+    drops = (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.when(a_better, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                "drop_id"
+            )
+        )
+        .distinct()
+    )
+    return docs.join(
+        drops, docs.doc_id == drops.drop_id, "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -613,3 +613,85 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 8000
         """
     )
+
+
+_BIN_GAP_US = 300_000_000  # 5-minute band, in integer microseconds
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    )
+    SELECT a.user_id,
+           a.event_id AS event_a, b.event_id AS event_b,
+           b.us - a.us AS gap_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.us - a.us BETWEEN 0 AND {_BIN_GAP_US}
+     AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+    """,
+    tier="P2",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join — ordered pairs of same-user events within a
+    5-minute band — executed as an EQUI-join over time bins, the
+    scalable formulation of a range join.
+
+    A naive range join has no equality key, so Catalyst can only
+    nest-loop it (fine for a broadcastable band table as in
+    join_theta_range; catastrophic for a self-join on a fact table).
+    Binning restores an equi-key: bucket = floor(us / gap); a partner
+    no more than `gap` later lives in bucket or bucket+1, so the left
+    side EXPLODES into those two keys and the join runs as a plain
+    shuffled equi-join on (user_id, bucket) with the exact band + order
+    predicate applied inside the joined stage.  Cost is 2x row
+    duplication on one side instead of |user-bucket|² nested loops;
+    at 100 TB the bin width tunes the duplication-vs-bucket-size
+    trade and AQE handles residual per-user skew.  All arithmetic is
+    integer microseconds (epoch_us both engines — truncating ns→µs),
+    so the band boundary cannot float-diverge.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        # exact int64 `div`, not float `/`+cast: a double quotient a
+        # hair under an integer boundary could floor inconsistently
+        # between the exploded and plain sides and skip a bucket.
+        F.explode(
+            F.array(
+                F.expr(f"us div {_BIN_GAP_US}"),
+                F.expr(f"us div {_BIN_GAP_US}") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        F.expr(f"us div {_BIN_GAP_US}").alias("bucket_b"),
+    )
+    gap = F.col("us_b") - F.col("us_a")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .filter(
+            gap.between(0, _BIN_GAP_US)
+            & (
+                (F.col("us_a") < F.col("us_b"))
+                | (
+                    (F.col("us_a") == F.col("us_b"))
+                    & (F.col("event_a") < F.col("event_b"))
+                )
+            )
+        )
+        .select("user_id", "event_a", "event_b", gap.alias("gap_us"))
+    )

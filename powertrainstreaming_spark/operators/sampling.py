@@ -151,3 +151,55 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.cast("bigint").alias("u"),
         threshold.alias("threshold"),
     ).filter(F.col("u") < F.col("threshold"))
+
+
+_CAP_K = 100  # exact per-language cap
+
+
+@query(
+    "sample_topk_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars, rn
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {o_poly_hash('text')}, doc_id
+               ) AS BIGINT) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_CAP_K}
+    """,
+    tier="P2",
+)
+def sample_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-stratum cap: keep precisely min(K, |stratum|) docs per
+    language, chosen by content-hash rank — the deterministic
+    "reservoir sample" of corpus curation (sample_stratified keeps
+    ~cap docs in expectation; budget accounting sometimes needs the
+    exact count).
+
+    Ranking by poly_hash(text) (doc_id tiebreak) instead of an RNG
+    makes the kept set a pure function of content: reproducible across
+    engines, reruns, and re-shardings, and byte-identical duplicates
+    rank adjacently.  The plan is one hash shuffle on lang + a
+    per-partition top-K sort; at 100 TB swap the full window sort for
+    a two-phase top-K (per-partition rank-truncate to K before the
+    shuffle — Spark's TakeOrderedAndProject generalized per group) if
+    a stratum's row count dwarfs K; the emitted rn column keeps every
+    keep decision auditable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(poly_hash("text"), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= _CAP_K)
+    )

@@ -6,9 +6,10 @@ higher-order functions, JVM-side, no Python workers.
 
 100 TB design: the brute-force probe scan is O(n) and embarrassingly
 parallel (fine at any scale for a single probe).  All-pairs variants
-must never materialize O(n²): they block on ``label`` (or LSH band)
-so each bucket's cross-join is small and the blocking key drives the
-shuffle.
+must never materialize O(n²): they block on (label, adaptive LSH
+cell) — the cell count doubles as the corpus crosses size thresholds
+(``_adaptive_cells``) so each bucket's cross-join stays bounded at
+any scale, and the blocking key drives the shuffle.
 """
 
 from __future__ import annotations
@@ -126,6 +127,11 @@ def _adaptive_cells(emb: DataFrame) -> DataFrame:
     broadcast 1-row aggregate (never a driver-side .count()), so the
     whole thing is one job and the plan is reusable under streaming
     replay."""
+    # The 1-row count attaches as a broadcast nested-loop join with a
+    # SCALAR build side (keys=[] global aggregate) — cost-identical to
+    # a map-side variable, safe at any scale.  The plan-quality tests
+    # distinguish this from a data×data product by requiring any BNLJ
+    # build side to be a global aggregate.
     ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
     cell8 = _cell_expr(F.col("embedding"), _ADAPT_MAX_BITS)
     return emb.crossJoin(F.broadcast(ncnt)).select(

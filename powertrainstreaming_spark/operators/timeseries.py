@@ -627,3 +627,64 @@ def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_hour"),
         intercept.alias("intercept"),
     )
+
+
+_EWMA_ALPHA = 0.5  # exactly representable in binary — multiplies are exact scalings
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           list_reduce(vals,
+                       (acc, x) -> {_EWMA_ALPHA} * x
+                                   + {1 - _EWMA_ALPHA} * acc) AS ewma_value,
+           vals[-1] AS last_value
+    FROM s
+    """,
+    tier="P2",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the telemetry smoothing primitive (EWMA state s_i = α·v_i +
+    (1-α)·s_(i-1), s_0 = v_0, α = 0.5).
+
+    The recurrence is inherently sequential per key, so it runs as a
+    higher-order-function LEFT FOLD over the per-user value sequence:
+    one groupBy shuffle collects each user's (ts, event_id, value)
+    triples, array_sort orders them, and F.aggregate folds — all
+    JVM-side codegen, no Python, no window re-shuffle.  Both engines
+    fold the SAME operands in the SAME order with α exactly
+    representable in binary, so the result is IEEE-bit-identical and
+    the value hash needs no rounding (exprs.py boundary rule: only
+    divergent float paths get rounded).
+
+    100 TB: state is one double per key and the fold input is one
+    user's history — bounded by per-entity activity, not corpus size
+    (the same per-key-sequence contract as sessionization).  For
+    unbounded single keys the production form is the streaming
+    stateful variant (stream_stateful_running's shape) carrying the
+    EWMA scalar as state; the batch fold here is its replay twin.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    agg = ev.groupBy("user_id").agg(seq.alias("seq"))
+    vals = F.transform(F.col("seq"), lambda s: s.getField("value"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc,
+    )
+    return agg.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        ewma.alias("ewma_value"),
+        F.element_at(vals, -1).alias("last_value"),
+    )

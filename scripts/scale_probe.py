@@ -117,13 +117,17 @@ def main() -> None:
     big = stage_10x()
 
     def timed(fn, sf_dir):
-        # collect(), not count(): count() lets Catalyst PRUNE the
-        # aggregate expressions (only group cardinality is needed) and
-        # under-measures by 2-4x.
-        fn(spark, sf_dir).collect()  # warm
+        # noop write, not collect()/count(): count() lets Catalyst
+        # PRUNE the aggregate expressions (under-measures 2-4x), and
+        # collect() adds Py4J driver transfer that dominates for the
+        # dedup ops whose 10x output is millions of rows.  The noop
+        # sink executes the full plan and discards rows executor-side.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        return time.perf_counter() - t0
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        rows = fn(spark, sf_dir).count()  # row count, untimed
+        return dt, rows
 
     lines = [
         "# 10× scale probe",
@@ -142,13 +146,21 @@ def main() -> None:
         "vector 10x verbatim, so every replica lands in the SAME cell —",
         "the probe is the adversarial case, not the friendly one.",
         "",
-        "| operator | 1× (s) | 10× (s) | ratio |",
-        "|---|---|---|---|",
+        "Output-row columns matter for the dedup family: verbatim",
+        "replication grows the TRUE duplicate mass quadratically in the",
+        "copy count, so a near-dup op's output (and thus its work) can",
+        "legitimately grow ~100x — read the time ratio against the row",
+        "ratio, not against 10.",
+        "",
+        "| operator | 1× (s) | 10× (s) | ratio | rows 1× | rows 10× |",
+        "|---|---|---|---|---|---|",
     ]
     for name, fn in probes.items():
-        t1 = timed(fn, SRC)
-        t10 = timed(fn, big)
-        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× |")
+        t1, r1 = timed(fn, SRC)
+        t10, r10 = timed(fn, big)
+        lines.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {r1} | {r10} |"
+        )
         print(lines[-1], flush=True)
 
     Path("docs/SCALE.md").write_text("\n".join(lines) + "\n")

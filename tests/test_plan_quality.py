@@ -88,13 +88,28 @@ def test_knn_probe_plan_is_map_only(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def _assert_no_unbounded_product(plan: str, ctx: str = "") -> None:
+    """No CartesianProduct ever; BroadcastNestedLoopJoin only for the
+    in-plan scalar attach (build side = keys=[] global aggregate → one
+    row, cost-identical to a broadcast variable).  A BNLJ between two
+    data-scaled inputs is the #1 scale-killer for pair operators."""
+    assert "CartesianProduct" not in plan, ctx
+    if "BroadcastNestedLoopJoin" in plan:
+        # Heuristic: the scalar attach leaves a keys=[] global aggregate
+        # in the plan; an unblocked data×data pair join has none.  (The
+        # shared scalar subtree is expanded once per join side, and
+        # final=True prints initial+final AQE plans, so occurrence
+        # counts are not meaningful.)
+        assert "HashAggregate(keys=[]" in plan, (ctx, plan[:800])
+
+
 def test_pair_join_is_blocked_never_cartesian(spark):
-    """All-pairs similarity MUST block on a key (label here): the plan
-    may never contain an unconditional cross product over the corpus —
-    the #1 scale-killer for pair operators at 100 TB."""
+    """All-pairs similarity MUST block on a key ((label, cell) here):
+    the plan may never contain an unconditional cross product over the
+    corpus — the #1 scale-killer for pair operators at 100 TB.  (The
+    single allowed BNLJ is the adaptive-cell corpus-count scalar.)"""
     plan = _plan(all_defs()["sim_pair_join_threshold"].fn(spark, SF), "simple", final=True)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    _assert_no_unbounded_product(plan)
 
 
 def test_near_dedup_join_is_blocked_never_cartesian(spark):
@@ -277,3 +292,21 @@ def test_scalar_subqueries_are_decorrelated(spark):
     )
     assert "BroadcastNestedLoopJoin" not in final_plan
     assert "CartesianProduct" not in final_plan
+
+
+def test_range_binned_join_is_equi_never_nested_loop(spark):
+    """join_range_binned exists precisely to avoid the nested-loop a
+    raw range condition forces: the plan must contain a hash/SMJ
+    equi-join on (user_id, bucket) and no cross-product flavor."""
+    plan = _plan(all_defs()["join_range_binned"].fn(spark, SF), "simple", final=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_and_keep_longest_dedup_never_cartesian(spark):
+    """The asymmetric (new x ref) band join and the keep-longest pair
+    join both inherit the banded/prefix blocking — no cross products."""
+    for name in ("dedup_incremental_minhash", "dedup_keep_longest"):
+        plan = _plan(all_defs()[name].fn(spark, SF), "simple", final=True)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -603,3 +603,73 @@ def test_approx_distinct_within_relative_error_of_exact(spark):
         est, n_est = approx[et]
         assert n_est == n, (et, n_est, n)
         assert abs(est - u) / u <= 3 * 0.02, (et, est, u)
+
+
+def test_incremental_minhash_equals_full_restricted_to_new_x_ref(spark):
+    """dedup_incremental_minhash must equal dedup_near_minhash
+    restricted to (new-batch x reference) pairs: band collision is
+    symmetric and verification/tau are shared, so the asymmetric join
+    loses exactly the ref x ref and new x new pairs and nothing else —
+    the migration guarantee for a user switching from backfill dedup
+    to incremental dedup."""
+    from powertrainstreaming_spark.operators.dedup import (
+        _INCR_MOD,
+        dedup_incremental_minhash,
+        dedup_near_minhash,
+    )
+
+    incr = {
+        (r.new_doc_id, r.ref_doc_id, r.jaccard)
+        for r in dedup_incremental_minhash(spark, SF).collect()
+    }
+    full = set()
+    for r in dedup_near_minhash(spark, SF).collect():
+        a_new, b_new = r.doc_a % _INCR_MOD == 0, r.doc_b % _INCR_MOD == 0
+        if a_new and not b_new:
+            full.add((r.doc_a, r.doc_b, r.jaccard))
+        elif b_new and not a_new:
+            full.add((r.doc_b, r.doc_a, r.jaccard))
+    assert incr == full
+
+
+def test_ewma_is_between_min_and_max_of_history(spark):
+    """ts_ewma is a convex combination of observed values, so every
+    user's smoothed value must lie within [min, max] of their raw
+    values, and a single-event user's ewma must equal that event's
+    value exactly."""
+    from powertrainstreaming_spark.operators.timeseries import ts_ewma
+
+    ev = load(spark, SF, "events")
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in ts_ewma(spark, SF).collect():
+        lo, hi = bounds[r.user_id]
+        assert lo <= r.ewma_value <= hi, (r.user_id, r.ewma_value, lo, hi)
+        if r.n_events == 1:
+            assert r.ewma_value == r.last_value
+
+
+def test_pagerank_invariants(spark):
+    """graph_pagerank_neardup (rows-only in t2: iterative) must hold
+    its algebraic contract: rank mass sums to 1 (decimal arithmetic —
+    only double-cast noise allowed), isolated nodes share one uniform
+    rank, every connected node outranks the isolated floor, and a
+    rerun is bit-identical (order-insensitive decimal sums make the
+    iteration deterministic under any partitioning)."""
+    from powertrainstreaming_spark.operators.graph import graph_pagerank_neardup
+
+    rows = graph_pagerank_neardup(spark, SF).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1) < 1e-9, total
+    iso = {r.pagerank for r in rows if r.degree == 0}
+    assert len(iso) == 1
+    floor = iso.pop()
+    assert all(r.pagerank > floor for r in rows if r.degree > 0)
+    rows2 = graph_pagerank_neardup(spark, SF).collect()
+    assert sorted((r.doc_id, r.pagerank) for r in rows) == sorted(
+        (r.doc_id, r.pagerank) for r in rows2
+    )

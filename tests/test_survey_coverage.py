@@ -98,6 +98,14 @@ def test_extras_are_intentional():
         "dedup_minhash_mllib",
         "dedup_fuzzy_levenshtein",
         "text_unigram_logprob",
+        # round 4
+        "dedup_incremental_minhash",
+        "dedup_keep_longest",
+        "join_range_binned",
+        "ts_ewma",
+        "sample_topk_per_group",
+        "events_sequence_pattern",
+        "graph_pagerank_neardup",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
