@@ -653,3 +653,97 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source AS modal_source, n AS n_docs
+    FROM (
+        SELECT lang, source, n,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, source
+               ) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+    tier="P2",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE with a total tiebreak: the most frequent source
+    per language (ties broken alphabetically) — the deterministic form
+    of the mode() aggregate.
+
+    Neither engine's built-in mode() pins tie behavior (Spark returns
+    an arbitrary tied value; DuckDB its first-seen), so the operator
+    computes it as count-then-argmax with an explicit (n DESC, source)
+    order — the only formulation whose result is reproducible across
+    engines, reruns, and partitionings.  Plan: one partial+final hash
+    agg to (lang, source) counts — a tiny relation bounded by the
+    categorical domain, not the corpus — then max_by over the counts;
+    no window over raw rows, so nothing here scales with documents
+    beyond the first aggregation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # min_by on (-n, source): highest count first, alphabetically
+    # smallest source on ties — a total order, so the result is unique.
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.min_by(
+                F.struct(F.col("source"), F.col("n")),
+                F.struct((-F.col("n")).alias("neg_n"), F.col("source")),
+            ).alias("b")
+        )
+        .select(
+            "lang",
+            F.col("b.source").alias("modal_source"),
+            F.col("b.n").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS wavg_discount,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average: price-weighted mean discount per return flag —
+    the aggregate every revenue-mix report needs and engines don't
+    ship as a builtin.
+
+    Determinism: the per-row product l_extendedprice * l_discount is
+    computed in DOUBLE from identical operands (bit-identical on both
+    engines), then summed in DECIMAL so the accumulation is
+    order-insensitive; the final ratio divides two identical doubles —
+    unrounded per the exprs.py boundary rule.  Plain partial+final
+    hash agg, map-side combined, scale-safe.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    wx = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+    w = F.col("l_extendedprice").cast("decimal(18,6)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / F.sum(w).cast("double")).alias(
+            "wavg_discount"
+        ),
+        F.sum(w).cast("double").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

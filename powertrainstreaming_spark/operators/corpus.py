@@ -522,3 +522,136 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_langs") * F.col("n_docs"))
         ).alias("uniform_weight"),
     )
+
+
+_BUDGET_TOKENS = 200_000  # global training-token budget to allocate
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM per_lang)
+    SELECT lang, n_docs, n_tokens,
+           CAST({_BUDGET_TOKENS} // n_langs AS BIGINT) AS budget_tokens,
+           least(1.0, CAST({_BUDGET_TOKENS} // n_langs AS DOUBLE) / n_tokens)
+               AS sample_rate,
+           CAST(least(CAST({_BUDGET_TOKENS} // n_langs AS BIGINT), n_tokens)
+                AS BIGINT) AS expected_tokens,
+           n_tokens < {_BUDGET_TOKENS} // n_langs AS under_budget
+    FROM per_lang, tot
+    """,
+    tier="P2",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation: split a global training budget evenly
+    across languages and derive each language's sampling rate — the
+    arithmetic a data-mixing job runs before sampling (see
+    corpus_mixture_weights for the share/weight report; this operator
+    turns shares into an executable per-language plan).
+
+    Per language: budget_l = B // K (exact integer division),
+    sample_rate = min(1, budget_l / tokens_l), expected kept tokens,
+    and an under_budget flag for languages too small to fill their
+    slice (their surplus re-allocation is a second pass of the same
+    shape).  One partial/final agg to a |langs|-row table plus a
+    1-row broadcast — bounded at any corpus size; the rates feed
+    sample_bernoulli_hash-style map-only keep decisions downstream.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_lang.agg(F.count(F.lit(1)).alias("n_langs"))
+    budget = F.expr(f"{_BUDGET_TOKENS} div n_langs")
+    return per_lang.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        budget.cast("bigint").alias("budget_tokens"),
+        F.least(
+            F.lit(1.0), budget.cast("double") / F.col("n_tokens")
+        ).alias("sample_rate"),
+        F.least(budget.cast("bigint"), F.col("n_tokens")).alias("expected_tokens"),
+        (F.col("n_tokens") < budget).alias("under_budget"),
+    )
+
+
+@query(
+    "corpus_eval_leakage",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' '
+                            || string_split(text, ' ')[i + 1] || ' '
+                            || string_split(text, ' ')[i + 2])))
+               AS shingle
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} <> 0),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0)
+    SELECT ev.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(train.shingle) AS BIGINT) AS n_leaked,
+           CAST(COUNT(train.shingle) AS DOUBLE) / COUNT(*) AS leak_ratio,
+           CAST(COUNT(train.shingle) AS DOUBLE) / COUNT(*)
+               >= {_DECONTAM_TAU} AS leaked
+    FROM ev LEFT JOIN train USING (shingle)
+    GROUP BY ev.doc_id
+    """,
+    tier="P2",
+)
+def corpus_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side leakage report — the REVERSE direction of
+    corpus_decontam_ngram: per EVAL document, the fraction of ITS
+    distinct trigrams that appear anywhere in the training slice.
+    This is the direction benchmark papers actually report (an eval
+    example is compromised when >= tau of its n-grams leak from
+    training); the train-side twin instead flags training docs to
+    drop.  Both directions share one shingling pass shape.
+
+    Same scale story as the twin: inverted-index equi-join on the
+    shingle string, never doc x doc; here the DISTINCT side is the
+    training corpus, which grows — so the join is a shuffle join at
+    any scale (nothing broadcastable), with map-side partial counts
+    per eval doc.  Ratio divides two identically-computed counts —
+    unrounded per the exprs.py boundary rule.
+    """
+    docs = load(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    shingles = docs.select(
+        "doc_id",
+        F.explode(_word_trigrams(F.split(F.col("text"), " "))).alias("shingle"),
+    )
+    train_sh = (
+        shingles.where(F.col("doc_id") % _EVAL_MOD != 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = shingles.where(F.col("doc_id") % _EVAL_MOD == 0)
+    ratio = F.col("n_leaked").cast("double") / F.col("n_shingles")
+    return (
+        eval_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_leaked"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_leaked",
+            ratio.alias("leak_ratio"),
+            (ratio >= _DECONTAM_TAU).alias("leaked"),
+        )
+    )

@@ -1019,3 +1019,57 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         drops, docs.doc_id == drops.drop_id, "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang, source, n_chars,
+               regexp_replace(source, '[^a-z0-9-]', '-', 'g')
+               || '.example.org/' || lang || '/doc-'
+               || CAST(doc_id % 50 AS VARCHAR) AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           arg_min(doc_id, doc_id) AS doc_id,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM u
+    GROUP BY canonical_url
+    """,
+    tier="P2",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-corpus first pass: strip
+    scheme and query parameters (session ids, tracking refs), keep one
+    representative per canonical host+path.  Uses the same synthesized
+    per-document URL as fn_url_parse (the fixtures carry no URL
+    column), whose doc_id % 50 path makes real collision groups.
+
+    Exactly the dedup_exact plan shape with the canonical URL as the
+    content key: map-only canonicalization expression, one hash
+    shuffle with map-side partial min_by/count, deterministic min-id
+    representative.  At 100 TB this is the cheapest dedup stage —
+    run before any content hashing, since it needs no text bytes at
+    all, only the URL column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    canonical = F.concat(
+        F.regexp_replace(F.col("source"), "[^a-z0-9-]", "-"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    return (
+        docs.select("doc_id", "lang", "source", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )

@@ -423,3 +423,93 @@ def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collate(mixed, "UTF8_LCASE"), F.lit(_CI_KEYWORD)
     )
     return docs.filter(hit).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "fn_date_extended",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    )
+    SELECT o_orderkey,
+           od,
+           CAST(od + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           last_day(od) AS month_end,
+           CAST(dayofweek(od) + 1 AS INT) AS dow,
+           CAST(quarter(od) AS INT) AS qtr,
+           CAST(dayofyear(od) AS INT) AS doy,
+           CAST(date_trunc('quarter', od) AS DATE) AS qtr_start
+    FROM d
+    """,
+    tier="P2",
+)
+def fn_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar function surface beyond fn_date: add_months
+    (month-end-clamped), last_day, day-of-week, quarter, day-of-year,
+    and quarter truncation — all on the DATE-cast order date (both
+    engines cast to DATE first: Spark's calendar fns return DATE while
+    DuckDB's interval math on raw timestamps returns TIMESTAMP).
+
+    Cross-engine trap handled: Spark's dayofweek is 1=Sunday..7 while
+    DuckDB's is 0=Sunday..6, so the oracle adds 1; add_months and
+    DuckDB's +INTERVAL MONTH share month-end clamping semantics, and
+    the rest are identical integer calendar math.  Map-only, codegen,
+    no shuffle at any scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("od"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.trunc(d, "quarter").alias("qtr_start"),
+    )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_partkey) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(l_partkey) AS BIGINT) AS key_bit_or,
+           CAST(bit_xor(l_partkey) AS BIGINT) AS key_bit_xor,
+           CAST(SUM(l_orderkey & 255) AS BIGINT) AS sum_low_byte,
+           CAST(SUM(xor(l_orderkey, l_partkey) % 1024) AS BIGINT)
+               AS sum_xor_mod,
+           CAST(SUM(CAST(l_linenumber AS BIGINT) << 2) AS BIGINT)
+               AS sum_shifted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: bit_and/bit_or/bit_xor aggregates plus
+    scalar AND / XOR / shift arithmetic — the key-packing and
+    flag-mask toolkit (partition ids, bloom-filter words, composite
+    key encoding all reduce to these).
+
+    Exact integer ops on both engines — no rounding anywhere; sums
+    accumulate in BIGINT (scalar results are < 2^32, counts bounded
+    by fixture size, so no overflow at any fixture scale; 100 TB
+    sums of masked bytes still fit int64 up to ~7e16 rows).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").cast("bigint").alias("key_bit_and"),
+        F.bit_or("l_partkey").cast("bigint").alias("key_bit_or"),
+        F.bit_xor("l_partkey").cast("bigint").alias("key_bit_xor"),
+        F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255)))
+        .cast("bigint")
+        .alias("sum_low_byte"),
+        F.sum(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")) % 1024)
+        .cast("bigint")
+        .alias("sum_xor_mod"),
+        F.sum(F.shiftleft(F.col("l_linenumber").cast("bigint"), 2))
+        .cast("bigint")
+        .alias("sum_shifted"),
+    )

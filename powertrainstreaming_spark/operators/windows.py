@@ -432,3 +432,51 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
     ).distinct()
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, ts, purchase_value,
+           last_value(purchase_value IGNORE NULLS) OVER w AS last_purchase,
+           first_value(purchase_value IGNORE NULLS) OVER w AS first_purchase
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END
+                   AS purchase_value
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tier="P2",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: per user, carry forward the
+    most recent purchase value and pin the first one, over a sparse
+    (mostly-NULL) derived column — the gap-tolerant form of
+    first/last_value that win_first_last_ntile's NULL-free variant
+    cannot exercise.
+
+    Both engines implement SQL-standard IGNORE NULLS (Spark via
+    ``last(col, ignorenulls=True)``); the frame is the explicit
+    running prefix so first/last are well-defined per row.  One
+    user-keyed shuffle, sort within partitions — the LOCF building
+    block (ts_gapfill_locf applies it to a regularized grid; this is
+    the raw-event form).
+    """
+    ev = load(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        pv.alias("purchase_value"),
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase"),
+        F.first(pv, ignorenulls=True).over(w).alias("first_purchase"),
+    )

@@ -67,7 +67,13 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", parts)
-        .config("spark.driver.memory", "8g")
+        # Single-JVM local mode: driver heap IS the executor heap.  8g
+        # suits tests/bench; heavy harnesses (the 10x scale probe's
+        # adversarial dedup runs) raise it via SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         # Arrow for any pandas-UDF path (similarity / multimodal ops).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

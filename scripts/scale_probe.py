@@ -65,6 +65,26 @@ def stage_10x() -> str:
                 if name in id_cols:
                     base = src[name].to_pylist()
                     cols[name] = pa.array([v + i * span[name] for v in base])
+                elif table == "documents" and name == "text" and i > 0:
+                    # Token-disjoint copies: suffix every token with the
+                    # copy index so cross-copy Jaccard is 0.  Verbatim
+                    # replication would grow the TRUE duplicate mass
+                    # quadratically in the copy count (every doc gains 9
+                    # exact twins), modeling "dup-rate grows with corpus
+                    # size" — the wrong scale-up.  Disjoint copies model
+                    # a 10x corpus with the SAME dup-rate and a
+                    # Heaps-law-growing vocabulary: near-dup structure
+                    # per copy is preserved, output grows linearly, and
+                    # the probe measures the PLAN, not the replication
+                    # artifact.  (Embeddings stay verbatim — the cosine
+                    # family's same-cell collisions are the adversarial
+                    # case worth keeping measured.)
+                    cols[name] = pa.array(
+                        [
+                            " ".join(f"{t}@{i}" for t in v.split(" "))
+                            for v in src[name].to_pylist()
+                        ]
+                    )
                 else:
                     cols[name] = src[name]
             pq.write_table(
@@ -116,24 +136,28 @@ def main() -> None:
     print("staging 10x replica...", flush=True)
     big = stage_10x()
 
-    def timed(fn, sf_dir):
-        # noop write, not collect()/count(): count() lets Catalyst
-        # PRUNE the aggregate expressions (under-measures 2-4x), and
-        # collect() adds Py4J driver transfer that dominates for the
-        # dedup ops whose 10x output is millions of rows.  The noop
-        # sink executes the full plan and discards rows executor-side.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    def timed(fn, sf_dir, warm):
+        # count(), not collect(): driver transfer would dominate for
+        # the dedup ops whose 10x output is millions of rows.  count()
+        # does let Catalyst prune final-projection expressions, which
+        # under-measures ABSOLUTE agg cost 2-4x — but pruning applies
+        # identically at both scales, and the RATIO is what this probe
+        # grades (bench.py owns absolute numbers).  Warm-up runs only
+        # at 1x: codegen classes are keyed on the plan, which is
+        # identical at 10x, so a second warm run there would double the
+        # probe's most expensive measurements for nothing.
+        if warm:
+            fn(spark, sf_dir).count()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        rows = fn(spark, sf_dir).count()  # row count, untimed
-        return dt, rows
+        rows = fn(spark, sf_dir).count()
+        return time.perf_counter() - t0, rows
 
     lines = [
         "# 10× scale probe",
         "",
         f"Facts replicated ×{COPIES} with offset keys (dims fixed); times",
-        "are warm wall-clock collect() on local[32].  ratio ≈ 10 ⇒ linear",
+        "are wall-clock count() on local[32] (warmed at 1×; codegen is",
+        "plan-keyed so the 10× run reuses it).  ratio ≈ 10 ⇒ linear",
         "scaling; well below 10 ⇒ fixed overhead dominates at 1×.",
         "",
         "The cosine family (sim_topk_per_query, sim_pair_join_threshold,",
@@ -146,18 +170,19 @@ def main() -> None:
         "vector 10x verbatim, so every replica lands in the SAME cell —",
         "the probe is the adversarial case, not the friendly one.",
         "",
-        "Output-row columns matter for the dedup family: verbatim",
-        "replication grows the TRUE duplicate mass quadratically in the",
-        "copy count, so a near-dup op's output (and thus its work) can",
-        "legitimately grow ~100x — read the time ratio against the row",
-        "ratio, not against 10.",
+        "Replication model: documents are TOKEN-DISJOINT per copy (same",
+        "dup-rate, 10x vocabulary — the realistic corpus growth), while",
+        "embeddings replicate verbatim (every vector gains 9 identical",
+        "twins in its LSH cell — the adversarial case for the cosine",
+        "family).  Read time ratios against the output-row ratios: an",
+        "op whose true output grows super-linearly must spend the time.",
         "",
         "| operator | 1× (s) | 10× (s) | ratio | rows 1× | rows 10× |",
         "|---|---|---|---|---|---|",
     ]
     for name, fn in probes.items():
-        t1, r1 = timed(fn, SRC)
-        t10, r10 = timed(fn, big)
+        t1, r1 = timed(fn, SRC, warm=True)
+        t10, r10 = timed(fn, big, warm=False)
         lines.append(
             f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {r1} | {r10} |"
         )

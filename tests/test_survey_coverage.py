@@ -106,6 +106,14 @@ def test_extras_are_intentional():
         "sample_topk_per_group",
         "events_sequence_pattern",
         "graph_pagerank_neardup",
+        "agg_mode_deterministic",
+        "fn_date_extended",
+        "corpus_token_budget",
+        "win_ignore_nulls",
+        "corpus_eval_leakage",
+        "fn_bitwise",
+        "dedup_url_canonical",
+        "agg_weighted_avg",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
