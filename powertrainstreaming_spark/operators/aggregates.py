@@ -747,3 +747,38 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w).cast("double").alias("total_weight"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_building,
+           string_agg(c_name, '|' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0
+    GROUP BY c_nationkey
+    """,
+    tier="P2",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg surface: pipe-joined, ORDER-BY-sorted
+    customer names per nation (filtered to a small deterministic
+    slice so group payloads stay readable).
+
+    Spark has no ordered string_agg aggregate, so the operator builds
+    it from primitives with identical semantics: collect_list →
+    array_sort → array_join — the sort makes the concatenation
+    order-insensitive to partitioning, which is the only way a
+    string aggregate can be deterministic on a parallel engine.  Per-
+    group payload is bounded by the group's row count — same per-key
+    contract as collect_sorted; at 100 TB cap the slice per group
+    (slice(array_sort(...), 1, k)) before joining.
+    """
+    cust = load(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 5 == 0)
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_building"),
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+    )

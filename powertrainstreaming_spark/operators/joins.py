@@ -695,3 +695,50 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_a", "event_b", gap.alias("gap_us"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name,
+           n.n_regionkey IS NULL AS via_null_match
+    FROM (SELECT n_nationkey, n_name,
+                 NULLIF(n_regionkey, 0) AS n_regionkey FROM nation) n
+    JOIN (SELECT r_regionkey, r_name,
+                 NULLIF(r_regionkey, 0) AS null_key FROM region) r
+      ON n.n_regionkey IS NOT DISTINCT FROM r.null_key
+    """,
+    tier="P2",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the join form for
+    dimension keys where NULL is a meaningful 'unknown' category
+    (filter_null_semantics covers the predicate; this is the JOIN).
+
+    The key is NULLIF(regionkey, 0) on both sides, so region 0's rows
+    pair through the NULL match and carry via_null_match=true.  Spark
+    plans <=> as an ordinary hash-join key (NULL hashes like any
+    value under null-safe equality), so the shape is identical to
+    join_broadcast — broadcast the bounded dim, no nested loop.  The
+    null 'bucket' is one more key group; at scale a heavily-NULL key
+    behaves like any other skewed key (salt it or let AQE split it).
+    """
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("n_regionkey"),
+    )
+    region = load(spark, sf_dir, "region").select(
+        F.nullif(F.col("r_regionkey"), F.lit(0)).alias("null_key"),
+        "r_name",
+    )
+    return nation.join(
+        F.broadcast(region),
+        nation.n_regionkey.eqNullSafe(region.null_key),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        "r_name",
+        F.col("n_regionkey").isNull().alias("via_null_match"),
+    )

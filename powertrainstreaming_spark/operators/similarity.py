@@ -476,9 +476,27 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-projection LSH: band-blocked all-pairs (the unlabeled scale path)
 
 _LSH_BANDS = 6
-_LSH_BITS = 6
+_LSH_BITS = 6  # base bucket bits per band (64 buckets at fixture scale)
+_LSH_MAX_BITS = 10  # signature carries 4 extra planes for adaptive masking
 _LSH_DIM = 64
 _LSH_TAU = 0.3
+# Bucket-count ladder, same discipline as _ADAPT_LADDER: the masked
+# bucket count per band doubles each time the corpus crosses a size
+# threshold, so band-bucket size stays bounded as data grows (a fixed
+# 64-bucket band would re-create the fixed-cardinality-block problem
+# this file's blocked joins exist to avoid).  At n <= 2048 the mask is
+# exactly the base 6 bits — fixture-scale results are unchanged.
+_LSH_LADDER = [2048, 4096, 8192, 16384]
+
+
+def _lsh_plane_index(band: int, j: int) -> int:
+    """Plane id for signature bit j of a band.  Bits below _LSH_BITS
+    keep their original plane ids (so the masked low bits reproduce
+    the historical 6-bit signature exactly); extension bits draw from
+    a disjoint id pool."""
+    if j < _LSH_BITS:
+        return band * _LSH_BITS + j
+    return 1000 + band * (_LSH_MAX_BITS - _LSH_BITS) + (j - _LSH_BITS)
 
 
 def _lsh_weights(plane: int) -> list[int]:
@@ -497,8 +515,8 @@ def _lsh_sig_structs() -> list[Column]:
     sigs = []
     for band in range(_LSH_BANDS):
         sig = F.lit(0)
-        for j in range(_LSH_BITS):
-            w = _lsh_weights(band * _LSH_BITS + j)
+        for j in range(_LSH_MAX_BITS):
+            w = _lsh_weights(_lsh_plane_index(band, j))
             proj = dot_f(F.col("embedding"), F.array(*[F.lit(x) for x in w]))
             sig = sig + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
         sigs.append(
@@ -509,10 +527,26 @@ def _lsh_sig_structs() -> list[Column]:
     return sigs
 
 
+def _lsh_mod_expr(n: Column) -> Column:
+    """Masked bucket count per band: 64·2^(#thresholds exceeded) —
+    exact integer arithmetic, mirrors _O_LSH_MOD."""
+    mod = F.lit(2**_LSH_BITS)
+    for t in _LSH_LADDER:
+        mod = mod * F.when(n > t, F.lit(2)).otherwise(F.lit(1))
+    return mod.cast("int")
+
+
+_O_LSH_MOD = (
+    f"CAST({2**_LSH_BITS} "
+    + " ".join(f"* (CASE WHEN n > {t} THEN 2 ELSE 1 END)" for t in _LSH_LADDER)
+    + " AS INT)"
+)
+
+
 def _o_lsh_band_sig(band: int) -> str:
     terms = []
-    for j in range(_LSH_BITS):
-        w = _lsh_weights(band * _LSH_BITS + j)
+    for j in range(_LSH_MAX_BITS):
+        w = _lsh_weights(_lsh_plane_index(band, j))
         lit = "[" + ", ".join(str(x) for x in w) + "]"
         terms.append(
             f"(CASE WHEN {o_dot('embedding', lit)} > 0 THEN {2**j} ELSE 0 END)"
@@ -529,8 +563,11 @@ _LSH_SIGS_SQL = "\n        UNION ALL ".join(
 @query(
     "sim_lsh_rp_pairs",
     oracle=f"""
-    WITH sigs AS (
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    raw AS (
         {_LSH_SIGS_SQL}
+    ), sigs AS (
+        SELECT vec_id, band, sig % {_O_LSH_MOD} AS sig FROM raw, nn
     ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM sigs a
@@ -551,8 +588,13 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked all-pairs join for corpora with NO label/cluster column
     (the docstring promise of sim_pair_join_threshold, made real).
 
-    Index: 6 bands × 6 sign-bits; each vector lands in one bucket per
-    band.  Candidates: vectors sharing any (band, bucket),
+    Index: 6 bands × an ADAPTIVE number of sign-bits — each band's
+    signature carries 10 planes, masked to 64·2^(#size thresholds the
+    corpus exceeds) buckets (same ladder discipline as
+    ``_adaptive_cells``), so band-bucket size stays bounded as the
+    corpus grows; at fixture scale the mask is exactly the base 6
+    bits.  Each vector lands in one bucket per band.  Candidates:
+    vectors sharing any (band, bucket),
     generated by a self-equi-join on the band key — the shuffle is keyed
     on (band, sig), candidate volume is Σ|bucket|² per band, never n².
     Rerank: exact dot on the deduped candidate set, keep sim ≥ τ.
@@ -566,9 +608,16 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, approximation and all.
     """
     emb = load(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id", F.explode(F.array(*_lsh_sig_structs())).alias("bs")
-    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
+    sigs = (
+        emb.select("vec_id", F.explode(F.array(*_lsh_sig_structs())).alias("bs"))
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "vec_id",
+            F.col("bs.band").alias("band"),
+            (F.col("bs.sig") % _lsh_mod_expr(F.col("n"))).alias("sig"),
+        )
+    )
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), "band", F.col("sig").alias("sig_a")
     )

@@ -893,3 +893,49 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+_HASH_DIM = 1024  # feature-vector width for the hashing trick
+
+
+@query(
+    "text_hashing_trick",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({o_poly_hash('token')} % {_HASH_DIM} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks
+    GROUP BY doc_id, {o_poly_hash('token')} % {_HASH_DIM}
+    """,
+    tier="P2",
+)
+def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick / HashingTF): map each token
+    to one of 1024 (_HASH_DIM) buckets by content hash and count per
+    (doc, bucket) — the fixed-width sparse featurization that needs NO
+    vocabulary pass, which is exactly why it is the 100 TB choice over
+    CountVectorizer (whose vocabulary is a corpus-sized dictionary to
+    build, broadcast, and version).
+
+    The bucket hash is the cross-engine-exact polynomial hash, so
+    unlike MLlib's HashingTF (Murmur3, JVM-only) the full sparse
+    matrix is value-hash-verified against DuckDB.  One explode + one
+    partial+final hash agg keyed on (doc_id, bucket) — map-side
+    combine collapses repeated tokens before the shuffle.  Emitted
+    long-form (doc, bucket, tf): the layout that joins/aggregates
+    downstream without array repacking.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bucket = (poly_hash("token") % _HASH_DIM).cast("int")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

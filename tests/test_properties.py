@@ -673,3 +673,77 @@ def test_pagerank_invariants(spark):
     assert sorted((r.doc_id, r.pagerank) for r in rows) == sorted(
         (r.doc_id, r.pagerank) for r in rows2
     )
+
+
+def test_ewma_state_is_streaming_resumable(spark):
+    """ts_ewma's fold state is a single scalar per key, so folding the
+    SECOND half of each user's (time-ordered) history starting from
+    the first half's final EWMA must equal the full fold bit-for-bit —
+    the resume law a streaming stateful twin (applyInPandasWithState
+    carrying the EWMA scalar) relies on.  Verified in plain Python
+    with the same alpha, same IEEE doubles, same fold order."""
+    from powertrainstreaming_spark.operators.timeseries import _EWMA_ALPHA, ts_ewma
+
+    full = {r.user_id: r.ewma_value for r in ts_ewma(spark, SF).collect()}
+    ev = (
+        load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        vals = [t[2] for t in rows]
+        half = len(vals) // 2
+        state = None
+        for chunk in (vals[:half], vals[half:]):  # two "micro-batches"
+            for v in chunk:
+                state = v if state is None else _EWMA_ALPHA * v + (1 - _EWMA_ALPHA) * state
+        assert state == full[uid], (uid, state, full[uid])
+
+
+def test_hashing_trick_conserves_token_mass(spark):
+    """text_hashing_trick: bucketizing must neither drop nor invent
+    tokens — per doc, the sum of bucket tfs equals the doc's raw token
+    count, and every bucket id is inside [0, 1024)."""
+    from powertrainstreaming_spark.operators.text import _HASH_DIM, text_hashing_trick
+
+    per_doc = {
+        r.doc_id: (r.total, r.min_b, r.max_b)
+        for r in text_hashing_trick(spark, SF)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total"),
+            F.min("bucket").alias("min_b"),
+            F.max("bucket").alias("max_b"),
+        )
+        .collect()
+    }
+    raw = {
+        r.doc_id: r.n
+        for r in load(spark, SF, "documents")
+        .select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n"))
+        .collect()
+    }
+    assert set(per_doc) == set(raw)
+    for doc_id, (total, min_b, max_b) in per_doc.items():
+        assert total == raw[doc_id], doc_id
+        assert 0 <= min_b and max_b < _HASH_DIM
+
+
+def test_eval_leakage_consistent_with_decontam_shingles(spark):
+    """corpus_eval_leakage and corpus_decontam_ngram are two directions
+    over the SAME shingle join, so their global hit masses must agree:
+    total leaked eval-shingle instances can only be nonzero when some
+    train doc is contaminated, and a fully-clean training set implies
+    zero leakage (cross-consistency no single oracle can check)."""
+    from powertrainstreaming_spark.operators.corpus import (
+        corpus_decontam_ngram,
+        corpus_eval_leakage,
+    )
+
+    train_hits = sum(r.n_hit for r in corpus_decontam_ngram(spark, SF).collect())
+    eval_leaks = sum(r.n_leaked for r in corpus_eval_leakage(spark, SF).collect())
+    assert (train_hits > 0) == (eval_leaks > 0)

@@ -114,6 +114,9 @@ def test_extras_are_intentional():
         "fn_bitwise",
         "dedup_url_canonical",
         "agg_weighted_avg",
+        "agg_string_agg",
+        "join_null_safe",
+        "text_hashing_trick",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
