@@ -411,3 +411,66 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("journey").rlike(_SEQ_PATTERN).alias("matched"),
         )
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+        SELECT user_id,
+               MAX(ts) AS last_seen,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                   AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                    FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                   AS monetary
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, last_seen, n_purchases, monetary,
+           CAST(ntile(5) OVER (ORDER BY last_seen DESC NULLS LAST, user_id)
+                AS INT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY n_purchases DESC NULLS LAST, user_id)
+                AS INT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC NULLS LAST, user_id)
+                AS INT) AS m_score
+    FROM rfm
+    """,
+    tier="P2",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (last event), frequency
+    (purchase count), monetary (purchase value) per user, each scored
+    into quintiles by ntile(5): the classic behavioral-segmentation
+    query every telemetry/commerce shop runs.
+
+    Determinism: every ntile ordering ends in user_id, so quintile
+    boundaries cannot depend on shuffle order; monetary sums
+    accumulate in DECIMAL.  Scale note: ntile needs a TOTAL order —
+    one single-partition window over the per-user rollup (rows = user
+    count, far smaller than events).  At 100 TB swap exact ntile for
+    approx-quantile boundary scoring (percentile thresholds broadcast,
+    map-only bucketing — agg_approx_quantile is the building block);
+    the exact form here is the oracle-checkable contract.
+    """
+    ev = load(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    rfm = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.when(is_p, 1)).alias("n_purchases"),
+        F.sum(F.when(is_p, F.col("value").cast("decimal(18,6)")))
+        .cast("double")
+        .alias("monetary"),
+    )
+    def score(col):
+        return F.ntile(5).over(
+            Window.orderBy(F.col(col).desc_nulls_last(), F.col("user_id"))
+        )
+    return rfm.select(
+        "user_id",
+        "last_seen",
+        "n_purchases",
+        "monetary",
+        score("last_seen").alias("r_score"),
+        score("n_purchases").alias("f_score"),
+        score("monetary").alias("m_score"),
+    )

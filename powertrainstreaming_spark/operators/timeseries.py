@@ -688,3 +688,60 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma.alias("ewma_value"),
         F.element_at(vals, -1).alias("last_value"),
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH prof AS (
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS seasonal_mean
+        FROM events GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.hod, p.n_events, p.seasonal_mean,
+           MAX(abs(e.value - p.seasonal_mean)) AS max_abs_residual
+    FROM events e
+    JOIN prof p ON p.event_type = e.event_type
+               AND p.hod = CAST(hour(e.ts) AS INT)
+    GROUP BY 1, 2, 3, 4
+    """,
+    tier="P2",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: per (channel, hour-of-day) mean —
+    the daily seasonality profile a naive forecaster predicts with —
+    plus the worst residual against that profile (the seasonal-
+    adjusted anomaly bound, complementing ts_anomaly_zscore's rolling
+    form with a calendar-keyed one).
+
+    Two passes expressed as one plan: a partial+final agg to the
+    |channels|x24-row profile, then a profile re-join keyed on
+    (event_type, hod) — the profile side is bounded by the categorical
+    domain (channels x 24) at ANY corpus size, so Catalyst/AQE
+    broadcasts it and the residual pass stays map-only.  The mean
+    divides a decimal sum by an exact count; each residual subtracts
+    identical doubles on both engines — unrounded per the exprs.py
+    boundary rule.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal_mean"),
+    )
+    return (
+        ev.join(prof, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n_events", "seasonal_mean")
+        .agg(
+            F.max(F.abs(F.col("value") - F.col("seasonal_mean"))).alias(
+                "max_abs_residual"
+            )
+        )
+    )

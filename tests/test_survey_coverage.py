@@ -117,6 +117,8 @@ def test_extras_are_intentional():
         "agg_string_agg",
         "join_null_safe",
         "text_hashing_trick",
+        "events_rfm_segmentation",
+        "ts_seasonal_profile",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
