@@ -747,3 +747,32 @@ def test_eval_leakage_consistent_with_decontam_shingles(spark):
     train_hits = sum(r.n_hit for r in corpus_decontam_ngram(spark, SF).collect())
     eval_leaks = sum(r.n_leaked for r in corpus_eval_leakage(spark, SF).collect())
     assert (train_hits > 0) == (eval_leaks > 0)
+
+
+def test_rfm_quintiles_are_balanced_and_complete(spark):
+    """events_rfm_segmentation: ntile(5) must partition users into
+    five buckets whose sizes differ by at most 1 (the SQL-standard
+    ntile law), for each of the three scores, covering every user."""
+    from powertrainstreaming_spark.operators.analytics import events_rfm_segmentation
+
+    rows = events_rfm_segmentation(spark, SF).collect()
+    n_users = load(spark, SF, "events").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 5, (col, v)
+            sizes[v] = sizes.get(v, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (col, sizes)
+
+
+def test_seasonal_profile_residual_bounds(spark):
+    """ts_seasonal_profile: every (channel, hour) group's worst
+    residual is non-negative, and the profile partitions the event
+    count exactly (sum of n_events over groups == total events)."""
+    from powertrainstreaming_spark.operators.timeseries import ts_seasonal_profile
+
+    rows = ts_seasonal_profile(spark, SF).collect()
+    assert all(r.max_abs_residual >= 0 for r in rows)
+    assert sum(r.n_events for r in rows) == load(spark, SF, "events").count()
