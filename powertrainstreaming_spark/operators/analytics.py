@@ -474,3 +474,92 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("n_purchases").alias("f_score"),
         score("monetary").alias("m_score"),
     )
+
+
+@query(
+    "events_ab_test_lift",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 95 THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+        FROM assign GROUP BY variant
+    )
+    SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.conv_rate AS rate_a,
+           b.n_users AS n_b, b.n_converted AS conv_b, b.conv_rate AS rate_b,
+           b.conv_rate - a.conv_rate AS lift,
+           (b.conv_rate - a.conv_rate)
+           / sqrt(
+               (CAST(a.n_converted + b.n_converted AS DOUBLE)
+                / (a.n_users + b.n_users))
+               * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                      / (a.n_users + b.n_users))
+               * (1.0 / a.n_users + 1.0 / b.n_users)
+             ) AS z_stat
+    FROM (SELECT * FROM arms WHERE variant = 0) a,
+         (SELECT * FROM arms WHERE variant = 1) b
+    """,
+    tier="P2",
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 assignment by user
+    id parity, per-arm conversion (a purchase over a value threshold — chosen so neither
+    arm saturates and the pooled variance stays positive), lift, and the
+    two-proportion pooled z-statistic — the analysis every
+    experimentation platform runs on event logs.
+
+    Hash-keyed assignment (id parity here; a salted poly-hash in
+    production) makes arms reproducible with no assignment table to
+    join.  The plan collapses events → per-user conversion flags →
+    two arm rows; the final single-row join of the two arms is
+    driver-free and broadcast-trivial.  The z-stat is computed from
+    exact integer counts through the IDENTICAL formula text on both
+    engines — same IEEE operations in the same order, so the result
+    is bit-exact and needs no rounding (exprs.py boundary rule).
+    """
+    ev = load(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 95), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("conv_a"),
+        F.col("conv_rate").alias("rate_a"),
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("conv_b"),
+        F.col("conv_rate").alias("rate_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    lift = F.col("rate_b") - F.col("rate_a")
+    z = lift / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return a.crossJoin(b).select(
+        "n_a", "conv_a", "rate_a",
+        "n_b", "conv_b", "rate_b",
+        lift.alias("lift"),
+        z.alias("z_stat"),
+    )

@@ -119,6 +119,7 @@ def test_extras_are_intentional():
         "text_hashing_trick",
         "events_rfm_segmentation",
         "ts_seasonal_profile",
+        "events_ab_test_lift",
         "agg_approx_topk",
         "agg_hll_sketch_merge",
         "scan_partition_pruned",
