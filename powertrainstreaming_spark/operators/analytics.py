@@ -493,28 +493,31 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
         FROM assign GROUP BY variant
     )
-    SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.conv_rate AS rate_a,
-           b.n_users AS n_b, b.n_converted AS conv_b, b.conv_rate AS rate_b,
-           b.conv_rate - a.conv_rate AS lift,
-           (b.conv_rate - a.conv_rate)
-           / sqrt(
-               (CAST(a.n_converted + b.n_converted AS DOUBLE)
-                / (a.n_users + b.n_users))
-               * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
-                      / (a.n_users + b.n_users))
-               * (1.0 / a.n_users + 1.0 / b.n_users)
-             ) AS z_stat
-    FROM (SELECT * FROM arms WHERE variant = 0) a,
-         (SELECT * FROM arms WHERE variant = 1) b
+    SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+           rate_b - rate_a AS lift,
+           CASE WHEN pooled > 0 AND pooled < 1 THEN
+               (rate_b - rate_a)
+               / sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b))
+           END AS z_stat
+    FROM (
+        SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.conv_rate AS rate_a,
+               b.n_users AS n_b, b.n_converted AS conv_b, b.conv_rate AS rate_b,
+               CAST(a.n_converted + b.n_converted AS DOUBLE)
+                   / (a.n_users + b.n_users) AS pooled
+        FROM (SELECT * FROM arms WHERE variant = 0) a,
+             (SELECT * FROM arms WHERE variant = 1) b
+    )
     """,
     tier="P2",
 )
 def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: deterministic 50/50 assignment by user
-    id parity, per-arm conversion (a purchase over a value threshold — chosen so neither
-    arm saturates and the pooled variance stays positive), lift, and the
-    two-proportion pooled z-statistic — the analysis every
-    experimentation platform runs on event logs.
+    id parity, per-arm conversion (a purchase over a value threshold),
+    lift, and the two-proportion pooled z-statistic — the analysis
+    every experimentation platform runs on event logs.  A degenerate
+    arm regime (pooled conversion 0 or 1 → zero pooled variance)
+    yields z_stat NULL via an explicit guard on both engines, so the
+    operator is safe on arbitrary corpora, not just the fixture.
 
     Hash-keyed assignment (id parity here; a salted poly-hash in
     production) makes arms reproducible with no assignment table to
@@ -552,10 +555,20 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a") + F.col("n_b")
     )
     lift = F.col("rate_b") - F.col("rate_a")
-    z = lift / F.sqrt(
-        pooled
-        * (1 - pooled)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    # Degenerate-arm guard: if NO user converts (pooled = 0) or EVERY
+    # user converts (pooled = 1), the pooled variance is 0 and the
+    # z-statistic is undefined — emit NULL explicitly (identical CASE
+    # on both engines) instead of relying on either engine's
+    # divide-by-zero behavior, which differs (Spark → NULL, DuckDB →
+    # ±inf for doubles).  Pinned by test_ab_test_degenerate_arm.
+    z = F.when(
+        (pooled > 0) & (pooled < 1),
+        lift
+        / F.sqrt(
+            pooled
+            * (1 - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
     )
     return a.crossJoin(b).select(
         "n_a", "conv_a", "rate_a",

@@ -14,6 +14,8 @@ makes an iterative float algorithm golden-snapshot-able at all.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -89,7 +91,13 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product overflow precision 38, and Spark's overflow rule rounds
     # such products at scale 6 — which silently leaked ~1e-3 of rank
     # mass before this was narrowed.
-    d = F.lit(str(_PR_DAMP_NUM / _PR_DAMP_DEN)).cast("decimal(3,2)")
+    # Built via decimal.Decimal, never float division: str(85 / 100)
+    # happens to render '0.85', but other ratios render like
+    # '0.8500000000000001' and would silently change (or fail) the
+    # (3,2) cast.  Exact rational → exact literal.
+    d = F.lit(str(Decimal(_PR_DAMP_NUM) / Decimal(_PR_DAMP_DEN))).cast(
+        "decimal(3,2)"
+    )
     base = (one - d) / nd
 
     ranks = docs.select(

@@ -776,3 +776,51 @@ def test_seasonal_profile_residual_bounds(spark):
     rows = ts_seasonal_profile(spark, SF).collect()
     assert all(r.max_abs_residual >= 0 for r in rows)
     assert sum(r.n_events for r in rows) == load(spark, SF, "events").count()
+
+
+def _stage_events(tmp_path_factory, label: str, values: list[float]) -> str:
+    """Stage a minimal synthetic events fixture (micros-encoded ts, so
+    the loader's footer probe takes the native-TIMESTAMP path): one
+    purchase event per user with the given value, users 0..len-1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp(f"ab_{label}")
+    n = len(values)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                           pa.timestamp("us")),
+            "user_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["purchase"] * n),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(table, str(root / "events.parquet"))
+    return str(root)
+
+
+def test_ab_test_degenerate_arm(spark, tmp_path_factory):
+    """events_ab_test_lift on a corpus where an arm saturates: pooled
+    conversion of 0 (no purchase clears the threshold) or 1 (every one
+    does) zeroes the pooled variance — the z-stat must come back NULL
+    on BOTH engines (hash-checked), never ±inf or a crash."""
+    from powertrainstreaming_spark.plans.registry import all_defs
+    from powertrainstreaming_spark.testing import compare, oracle_connection
+
+    qd = all_defs()["events_ab_test_lift"]
+    for label, values in (
+        ("all", [100.0] * 8),   # pooled = 1: every user converts
+        ("none", [10.0] * 8),   # pooled = 0: nobody converts
+    ):
+        sf_dir = _stage_events(tmp_path_factory, label, values)
+        df = qd.fn(spark, sf_dir)
+        res, s_lines, o_lines = compare(
+            "events_ab_test_lift", df, oracle_connection(sf_dir), qd.oracle
+        )
+        assert res.ok, (label, s_lines, o_lines)
+        row = df.collect()[0]
+        assert row.z_stat is None, (label, row)
+        assert row.lift == 0.0, (label, row)
