@@ -98,11 +98,20 @@ def _o_cell(col: str, bits: int = _IVF_BITS) -> str:
 # _ADAPT_MAX_BITS sign bits; masking by the modulus keeps its low bits,
 # which equals the cell computed with fewer planes (nested quantizers),
 # so growing the corpus only SPLITS existing buckets — the hierarchy a
-# production IVF rebuild preserves.  Extending the ladder (or swapping a
-# config for it) is the 100 TB knob; the plan shape never changes.
+# production IVF rebuild preserves.
+#
+# The ladder runs 2048·2^k for k < 20: the modulus keeps doubling up to
+# 16·2^20 = 2^24 cells at ~10^9 rows per corpus, i.e. mean bucket size
+# stays ≤ ~128 until past a billion vectors (round-4 capped the ladder
+# at 1024 cells / ~10M vectors — the same quadratic failure mode one
+# decade out; this lifts it three more decades).  24 sign bits fit the
+# 64-dim embeddings with room to extend the ladder further — the
+# remaining 100 TB knob is `range(20)` below, and the plan shape never
+# changes.
 
-_ADAPT_MAX_BITS = 10
-_ADAPT_LADDER = [2048, 4096, 8192, 16384, 32768, 65536]
+_ADAPT_MAX_BITS = 24
+_ADAPT_LADDER = [2048 << k for k in range(20)]
+assert _ADAPT_MAX_BITS == 4 + len(_ADAPT_LADDER)  # modulus ≤ 2^_ADAPT_MAX_BITS
 
 
 def _adaptive_mod_expr(n: Column) -> Column:
@@ -477,26 +486,38 @@ def sim_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_BANDS = 6
 _LSH_BITS = 6  # base bucket bits per band (64 buckets at fixture scale)
-_LSH_MAX_BITS = 10  # signature carries 4 extra planes for adaptive masking
+_LSH_MAX_BITS = 20  # up to 14 extra planes gated in by corpus size
 _LSH_DIM = 64
 _LSH_TAU = 0.3
-# Bucket-count ladder, same discipline as _ADAPT_LADDER: the masked
-# bucket count per band doubles each time the corpus crosses a size
-# threshold, so band-bucket size stays bounded as data grows (a fixed
-# 64-bucket band would re-create the fixed-cardinality-block problem
-# this file's blocked joins exist to avoid).  At n <= 2048 the mask is
-# exactly the base 6 bits — fixture-scale results are unchanged.
-_LSH_LADDER = [2048, 4096, 8192, 16384]
+# Bucket-count ladder, same discipline as _ADAPT_LADDER: the bucket
+# count per band doubles each time the corpus crosses a size threshold,
+# so band-bucket size stays bounded as data grows (a fixed 64-bucket
+# band would re-create the fixed-cardinality-block problem this file's
+# blocked joins exist to avoid).  14 rungs: the per-band bucket count
+# keeps doubling to 64·2^14 = 2^20 at ~16M rows (round-4 capped at
+# 1024 buckets / ~16k rows).  At n <= 2048 only the base 6 bits are
+# live — fixture-scale results are unchanged.  Extension planes are
+# GATED by the in-plan modulus, not computed-then-masked, so the
+# signature cost scales with the ACTIVE plane count (~log n), not the
+# ladder length — extending `range(14)` further is free until the
+# corpus actually grows.
+_LSH_LADDER = [2048 << k for k in range(14)]
+assert _LSH_MAX_BITS == _LSH_BITS + len(_LSH_LADDER)
+
+_LSH_EXT_POOL = 1000  # disjoint plane-id pool for extension bits
+_LSH_EXT_STRIDE = 100  # per-band id stride: stable for any ladder ≤ 106 rungs
 
 
 def _lsh_plane_index(band: int, j: int) -> int:
     """Plane id for signature bit j of a band.  Bits below _LSH_BITS
-    keep their original plane ids (so the masked low bits reproduce
-    the historical 6-bit signature exactly); extension bits draw from
-    a disjoint id pool."""
+    keep their original plane ids (so the low bits reproduce the
+    historical 6-bit signature exactly); extension bits draw from a
+    disjoint id pool with a FIXED per-band stride, so plane ids — and
+    therefore results at every scale — are stable under future ladder
+    extensions."""
     if j < _LSH_BITS:
         return band * _LSH_BITS + j
-    return 1000 + band * (_LSH_MAX_BITS - _LSH_BITS) + (j - _LSH_BITS)
+    return _LSH_EXT_POOL + band * _LSH_EXT_STRIDE + (j - _LSH_BITS)
 
 
 def _lsh_weights(plane: int) -> list[int]:
@@ -511,14 +532,23 @@ def _lsh_weights(plane: int) -> list[int]:
     ]
 
 
-def _lsh_sig_structs() -> list[Column]:
+def _lsh_sig_structs(mod: Column) -> list[Column]:
+    """Per-band signature structs with extension planes GATED by the
+    in-plan modulus: plane j ≥ _LSH_BITS is live iff 2^j < mod, which
+    is bit-for-bit the same set a `sig % mod` mask would keep (mod is
+    a power of two) — but the projection behind an inactive plane is
+    never evaluated (CASE branches are lazy in codegen), so signature
+    cost tracks the active plane count, not _LSH_MAX_BITS."""
     sigs = []
     for band in range(_LSH_BANDS):
         sig = F.lit(0)
         for j in range(_LSH_MAX_BITS):
             w = _lsh_weights(_lsh_plane_index(band, j))
             proj = dot_f(F.col("embedding"), F.array(*[F.lit(x) for x in w]))
-            sig = sig + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+            bit = F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+            if j >= _LSH_BITS:
+                bit = F.when(F.lit(2**j) < mod, bit).otherwise(F.lit(0))
+            sig = sig + bit
         sigs.append(
             F.struct(
                 F.lit(band).alias("band"), sig.cast("int").alias("sig")
@@ -528,8 +558,8 @@ def _lsh_sig_structs() -> list[Column]:
 
 
 def _lsh_mod_expr(n: Column) -> Column:
-    """Masked bucket count per band: 64·2^(#thresholds exceeded) —
-    exact integer arithmetic, mirrors _O_LSH_MOD."""
+    """Bucket count per band: 64·2^(#thresholds exceeded) — exact
+    integer arithmetic, mirrors _O_LSH_MOD."""
     mod = F.lit(2**_LSH_BITS)
     for t in _LSH_LADDER:
         mod = mod * F.when(n > t, F.lit(2)).otherwise(F.lit(1))
@@ -544,18 +574,23 @@ _O_LSH_MOD = (
 
 
 def _o_lsh_band_sig(band: int) -> str:
+    """DuckDB mirror of one band's gated signature (``mod`` must be in
+    scope; DuckDB CASE is lazy too, so inactive planes cost nothing
+    on the oracle side either)."""
     terms = []
     for j in range(_LSH_MAX_BITS):
         w = _lsh_weights(_lsh_plane_index(band, j))
         lit = "[" + ", ".join(str(x) for x in w) + "]"
-        terms.append(
-            f"(CASE WHEN {o_dot('embedding', lit)} > 0 THEN {2**j} ELSE 0 END)"
-        )
+        t = f"(CASE WHEN {o_dot('embedding', lit)} > 0 THEN {2**j} ELSE 0 END)"
+        if j >= _LSH_BITS:
+            t = f"(CASE WHEN {2**j} < mod THEN {t} ELSE 0 END)"
+        terms.append(t)
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
 _LSH_SIGS_SQL = "\n        UNION ALL ".join(
-    f"SELECT vec_id, {band} AS band, {_o_lsh_band_sig(band)} AS sig FROM embeddings"
+    f"SELECT vec_id, {band} AS band, {_o_lsh_band_sig(band)} AS sig "
+    "FROM embeddings, m"
     for band in range(_LSH_BANDS)
 )
 
@@ -564,10 +599,9 @@ _LSH_SIGS_SQL = "\n        UNION ALL ".join(
     "sim_lsh_rp_pairs",
     oracle=f"""
     WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    raw AS (
+    m AS (SELECT {_O_LSH_MOD} AS mod FROM nn),
+    sigs AS (
         {_LSH_SIGS_SQL}
-    ), sigs AS (
-        SELECT vec_id, band, sig % {_O_LSH_MOD} AS sig FROM raw, nn
     ), cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM sigs a
@@ -589,12 +623,15 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the docstring promise of sim_pair_join_threshold, made real).
 
     Index: 6 bands × an ADAPTIVE number of sign-bits — each band's
-    signature carries 10 planes, masked to 64·2^(#size thresholds the
-    corpus exceeds) buckets (same ladder discipline as
-    ``_adaptive_cells``), so band-bucket size stays bounded as the
-    corpus grows; at fixture scale the mask is exactly the base 6
-    bits.  Each vector lands in one bucket per band.  Candidates:
-    vectors sharing any (band, bucket),
+    signature carries up to 20 planes, of which 6 + (#size thresholds
+    the corpus exceeds) are live (same ladder discipline as
+    ``_adaptive_cells``, buckets doubling up to 2^20 per band at ~16M
+    rows), so band-bucket size stays bounded as the corpus grows.
+    Inactive planes are GATED by the in-plan modulus, never computed —
+    signature cost is ~log(n) planes, not the ladder length — and at
+    fixture scale exactly the base 6 bits are live.  Each vector lands
+    in one bucket per band.  Candidates: vectors sharing any (band,
+    bucket),
     generated by a self-equi-join on the band key — the shuffle is keyed
     on (band, sig), candidate volume is Σ|bucket|² per band, never n².
     Rerank: exact dot on the deduped candidate set, keep sim ≥ τ.
@@ -610,12 +647,18 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
     sigs = (
-        emb.select("vec_id", F.explode(F.array(*_lsh_sig_structs())).alias("bs"))
-        .crossJoin(F.broadcast(ncnt))
+        emb.crossJoin(F.broadcast(ncnt))
+        .withColumn("mod", _lsh_mod_expr(F.col("n")))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*_lsh_sig_structs(F.col("mod")))
+            ).alias("bs"),
+        )
         .select(
             "vec_id",
             F.col("bs.band").alias("band"),
-            (F.col("bs.sig") % _lsh_mod_expr(F.col("n"))).alias("sig"),
+            F.col("bs.sig").alias("sig"),
         )
     )
     a = sigs.select(
