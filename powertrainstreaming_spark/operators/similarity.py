@@ -130,25 +130,30 @@ _O_ADAPT_MOD = (
 )
 
 
-def _adaptive_cells(emb: DataFrame) -> DataFrame:
-    """embeddings → (vec_id, label, cell, embedding) with the
+def _adaptive_cells(emb: DataFrame, with_mod: bool = False) -> DataFrame:
+    """embeddings → (vec_id, label, cell, embedding[, mod]) with the
     data-adaptive cell id.  The corpus count enters the plan as a
     broadcast 1-row aggregate (never a driver-side .count()), so the
     whole thing is one job and the plan is reusable under streaming
-    replay."""
+    replay.  ``with_mod`` also emits the modulus column (the active
+    cell count) — the multi-probe variant needs it to know which cell
+    bits are live."""
     # The 1-row count attaches as a broadcast nested-loop join with a
     # SCALAR build side (keys=[] global aggregate) — cost-identical to
     # a map-side variable, safe at any scale.  The plan-quality tests
     # distinguish this from a data×data product by requiring any BNLJ
     # build side to be a global aggregate.
     ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
-    cell8 = _cell_expr(F.col("embedding"), _ADAPT_MAX_BITS)
-    return emb.crossJoin(F.broadcast(ncnt)).select(
-        "vec_id",
-        "label",
-        (cell8 % _adaptive_mod_expr(F.col("n"))).alias("cell"),
-        "embedding",
-    )
+    cell_full = _cell_expr(F.col("embedding"), _ADAPT_MAX_BITS)
+    cols = [
+        F.col("vec_id"),
+        F.col("label"),
+        (cell_full % _adaptive_mod_expr(F.col("n"))).alias("cell"),
+        F.col("embedding"),
+    ]
+    if with_mod:
+        cols.append(_adaptive_mod_expr(F.col("n")).alias("mod"))
+    return emb.crossJoin(F.broadcast(ncnt)).select(*cols)
 
 
 _O_ADAPT_CELLS = f"""
@@ -200,6 +205,17 @@ def sim_pair_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ=0.3 sits at ~p99 of the within-label sim distribution [MEASURED],
     so the output is non-trivial but bounded.  The filter compares the
     ROUNDED sim on both engines so boundary values cannot diverge.
+
+    Blocking is a recall/cost trade, and at τ=0.3 on near-isotropic
+    vectors a single sign-bit cell is recall-poor: measured recall vs
+    the exact within-label ground truth is 0.22 @ sf0.001 and 0.10 @
+    sf0.01 (each active hyperplane agrees w.p. ~0.6 at sim 0.3 and the
+    bits multiply — no bounded-bucket scheme holds both recall and
+    bucket bounds here; that is the LSH lower-bound trade, not a bug).
+    ``sim_pair_multiprobe`` is the recall knob: same blocking, Hamming-1
+    probing, ~4–5× the recall for (1 + active-bits) ≈ log(n) candidate
+    fan-out.  Both are pinned by
+    tests/test_properties.py::test_cosine_pair_blocking_recall_ladder.
     """
     emb = load(spark, sf_dir, "embeddings")
     cells = _adaptive_cells(emb)
@@ -299,6 +315,96 @@ def sim_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOPK_K)
         .select("vec_id", "neighbor_id", "label", "sim")
+    )
+
+
+_O_ADAPT_CELLS_MOD = f"""
+        SELECT vec_id, label, embedding,
+               {_o_cell('embedding', _ADAPT_MAX_BITS)} % {_O_ADAPT_MOD} AS cell,
+               {_O_ADAPT_MOD} AS mod
+        FROM embeddings, (SELECT COUNT(*) AS n FROM embeddings)
+"""
+
+
+@query(
+    "sim_pair_multiprobe",
+    oracle=f"""
+    WITH c AS (
+        {_O_ADAPT_CELLS_MOD}
+    ), p AS (
+        SELECT c.*, CAST(CASE WHEN i = 0 THEN 0 ELSE (1 << (i - 1)) END AS INT) AS f
+        FROM c, (SELECT unnest(range(0, {_ADAPT_MAX_BITS + 1})) AS i) ii
+        WHERE i = 0 OR (1 << (i - 1)) < mod
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({o_dot('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM p a
+    JOIN c b ON a.label = b.label AND xor(a.cell, a.f) = b.cell
+            AND a.vec_id < b.vec_id
+    WHERE round({o_dot('a.embedding', 'b.embedding')}, 6) >= {_PAIR_TAU}
+    """,
+    tier="P2",
+)
+def sim_pair_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of ``sim_pair_join_threshold``: candidates
+    come from the probe side's own cell PLUS every cell at Hamming
+    distance 1 over the ACTIVE cell bits — the recall knob of the
+    cell-blocked family, as a first-class operator.
+
+    A single sign-bit cell is selective but recall-poor at a low τ on
+    near-isotropic vectors (measured 0.10 at sf0.01 for the single-cell
+    join — each active hyperplane agrees w.p. ~0.6 at sim 0.3, and the
+    bits multiply); flipping each live bit in turn recovers every pair
+    the blocking lost to exactly one disagreeing plane, lifting
+    measured recall to ~0.5 at gate scale (test_cosine_pair_blocking
+    _recall_ladder) for a candidate-volume factor of (1 + active bits)
+    — ~log(n), NOT a constant-factor recall/precision trade.  Still a
+    pure bucket equi-join: the probe side explodes into ≤ 1 + 24 rows
+    keyed by (label, probed cell), the build side stays single-cell,
+    and each unordered pair matches at most one flip (f is determined
+    by cell_a XOR cell_b), so no dedup pass is needed.  The flip set is
+    GATED by the in-plan modulus — only live bits are probed, so probe
+    fan-out tracks the ~log(n) active bit count at every scale.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cells = _adaptive_cells(emb, with_mod=True)
+    probes = (
+        cells.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("label"),
+            F.col("cell"),
+            F.col("mod"),
+            F.col("embedding").alias("emb_a"),
+        )
+        .withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(_ADAPT_MAX_BITS)))
+        )
+        .withColumn(
+            "f",
+            F.expr(
+                "CAST(CASE WHEN i = 0 THEN 0 ELSE shiftleft(1, i - 1) END AS INT)"
+            ),
+        )
+        .filter((F.col("i") == 0) | (F.col("f") < F.col("mod")))
+        .withColumn("probe_cell", F.col("cell").bitwiseXOR(F.col("f")))
+    )
+    b = cells.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    sim = sim_round(dot_f("emb_a", "emb_b"))
+    return (
+        probes.join(
+            b,
+            (probes.label == b.label_b)
+            & (F.col("probe_cell") == b.cell_b)
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= _PAIR_TAU)
+        .select("vec_a", "vec_b", "label", "sim")
     )
 
 

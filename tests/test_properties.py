@@ -362,6 +362,44 @@ def test_lsh_pairs_subset_of_exact_with_stable_recall(spark):
     assert rerun == lsh
 
 
+def test_cosine_pair_blocking_recall_ladder(spark):
+    """The cosine-pair family is a recall LADDER over one blocking
+    scheme — single-cell (sim_pair_join_threshold) ⊆ Hamming-1
+    multiprobe (sim_pair_multiprobe) ⊆ exact within-label ground
+    truth — and each rung's recall is pinned, not just its oracle hash
+    (the oracle mirrors the blocking, so a hash match alone would pass
+    even if blocking dropped every pair).  Measured at sf0.01: exact
+    111 pairs, single-cell 11 (recall 0.10), multiprobe 45 (0.41);
+    floors are set conservatively below those.  Precision is 1.0 by
+    construction (exact sim filter inside the join) — asserted via the
+    subset laws, not assumed."""
+    from powertrainstreaming_spark.operators.similarity import (
+        _PAIR_TAU,
+        sim_pair_join_threshold,
+        sim_pair_multiprobe,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    exact_df = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("sim", sim_round(dot_f("ea", "eb")))
+        .filter(F.col("sim") >= _PAIR_TAU)
+    )
+    exact = {(r.vec_a, r.vec_b) for r in exact_df.collect()}
+    single = {(r.vec_a, r.vec_b) for r in sim_pair_join_threshold(spark, SF).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in sim_pair_multiprobe(spark, SF).collect()}
+
+    assert single <= multi, "multiprobe must contain the no-flip (f=0) rung"
+    assert multi <= exact, "blocking may drop pairs but never invent one"
+    assert len(single) / len(exact) >= 0.05
+    assert len(multi) / len(exact) >= 0.30
+    assert len(multi) >= 2 * len(single), "Hamming-1 probing must materially lift recall"
+
+
 def test_hll_sketch_estimates_and_merge_consistency(spark):
     """agg_hll_sketch_merge: per-type estimates within 5% of exact
     distinct counts, and the 'ALL' row (union of per-type sketches)

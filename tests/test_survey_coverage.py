@@ -125,6 +125,7 @@ def test_extras_are_intentional():
         "scan_partition_pruned",
         "maintenance_compact_files",
         "sim_lsh_rp_pairs",
+        "sim_pair_multiprobe",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
