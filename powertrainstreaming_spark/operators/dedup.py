@@ -648,8 +648,27 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ITERS = 50
 
+# Exact min-label connected components.  The naive formulation
+# (recursive reachability closure over the raw edge list, seeded with
+# every node) is correct but O(k^2) state and O(k^3)-ish join work per
+# component of size k — near-dup components are DENSE, and at sf0.1 the
+# closure alone cost ~168 s.  Two lossless cuts bring it to ~23 s with
+# bit-identical output at every fixture scale:
+#   1. CONTRACT before recursing: m1(v) = min(v, N(v)) is one plain
+#      aggregate; edges re-keyed through m1 collapse each near-clique
+#      to ~one node (sf0.1: 5000 nodes / 381 850 edges -> 3251 / 1534),
+#      so the recursion runs on the tiny condensed graph.  Components
+#      of the condensed graph are exactly the images of the original
+#      components, and the component min M survives contraction because
+#      m1(M) = M.
+#   2. PRUNE the propagation: a label l crossing edge (u, v) can only
+#      matter if l < v (MIN can't improve otherwise); the component min
+#      passes every hop, so MIN(label) is unchanged.
+# MATERIALIZED hints matter: DuckDB 1.0 inlines multiply-referenced
+# CTEs, and an inlined `edges` would be re-derived from the token join
+# on every recursion step.
 _CC_ORACLE = f"""
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE toks AS MATERIALIZED (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
@@ -660,15 +679,80 @@ _CC_ORACLE = f"""
               JOIN sizes sa ON da = sa.doc_id
               JOIN sizes sb ON db = sb.doc_id
               WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {_JAC_TAU}),
-    edges AS (SELECT da AS src, db AS dst FROM pairs
+    edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
               UNION SELECT db, da FROM pairs),
+    m1 AS MATERIALIZED (
+        SELECT d.doc_id, least(d.doc_id, coalesce(MIN(e.dst), d.doc_id)) AS l1
+        FROM documents d LEFT JOIN edges e ON d.doc_id = e.src
+        GROUP BY d.doc_id),
+    cedges AS MATERIALIZED (
+        SELECT DISTINCT a.l1 AS src, b.l1 AS dst
+        FROM edges e JOIN m1 a ON e.src = a.doc_id
+                     JOIN m1 b ON e.dst = b.doc_id
+        WHERE a.l1 <> b.l1),
+    cnodes AS (SELECT DISTINCT l1 AS node FROM m1),
     reach(node, label) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT node, node FROM cnodes
         UNION
-        SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src)
-    SELECT node AS doc_id, MIN(label) AS component_id
-    FROM reach GROUP BY node
+        SELECT e.dst, r.label FROM reach r JOIN cedges e ON r.node = e.src
+        WHERE r.label < e.dst),
+    cc AS (SELECT node, MIN(label) AS root FROM reach GROUP BY node)
+    SELECT m1.doc_id, cc.root AS component_id
+    FROM m1 JOIN cc ON m1.l1 = cc.node
     """
+
+
+def cc_min_labels(
+    labels: DataFrame, edges: DataFrame, max_iters: int = _CC_MAX_ITERS
+) -> tuple[DataFrame, int]:
+    """Exact min-label connected components, returning (labels, rounds).
+
+    ``labels`` is (doc_id, component_id) seeded with component_id =
+    doc_id for EVERY node (including isolated ones); ``edges`` is the
+    SYMMETRIC (src, dst) edge list.  Both should be checkpointed by the
+    caller.
+
+    Each round does (1) neighbor-min propagation — one edges⋈labels
+    shuffle + groupBy-min, both keyed on doc_id — and (2) POINTER
+    JUMPING: component_id := component_id(component_id), a labels⋈labels
+    self-join.  Every label value is itself a doc_id with a labels row
+    (seeds are ids; propagation and jumping only move existing ids), so
+    the jump join is total, and both steps are monotone non-increasing.
+    Neighbor-min alone needs rounds = eccentricity of the component min
+    (fine for shallow near-dup clusters, O(n) on a chain); the jump
+    doubles the distance a label has travelled each round, so worst-case
+    rounds drop to O(log n) on ANY graph — pinned by
+    tests/test_properties.py::test_cc_chain_converges_in_log_rounds.
+    Convergence is detected via the monotonically decreasing Σlabels
+    (one scalar agg per round, no old-vs-new join);
+    ``localCheckpoint`` truncates lineage so the plan stays O(1) deep.
+    At 100 TB the same loop runs with edges hash-partitioned on src and
+    the per-round driver traffic is still one scalar.
+    """
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for rounds in range(1, max_iters + 1):
+        prop = edges.join(
+            labels, edges.src == labels.doc_id
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        stepped = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+        )
+        hop = stepped.select(
+            F.col("doc_id").alias("hop_id"),
+            F.col("component_id").alias("hop_label"),
+        )
+        labels = (
+            stepped.join(hop, stepped.component_id == hop.hop_id)
+            .select("doc_id", F.col("hop_label").alias("component_id"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels, rounds
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
 
 @query("dedup_cluster_cc", oracle=_CC_ORACLE, tier="P2")
@@ -683,21 +767,18 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph and keep one representative per component — this operator is
     that step, exact.
 
-    Plan: iterative min-label propagation on DataFrames.  Each round,
-    every node takes the min of its own label and its neighbors'
-    (edges ⋈ labels shuffle-join + groupBy-min, both on doc_id);
-    ``localCheckpoint`` truncates lineage per round so the plan stays
-    O(1) deep; convergence is detected via the monotonically
-    decreasing Σlabels (labels only ever decrease, so an unchanged sum
-    IS the fixpoint — one scalar agg, no old-vs-new join).  Rounds =
-    graph eccentricity of each component's min node (8 on this corpus;
-    duplicate clusters stay shallow at any corpus size because near-dup
-    graphs are locally dense).  At 100 TB the same loop runs with the
-    edge list hash-partitioned on src, and the O(log²n) large-star /
-    small-star variant (Kiveris et al., "Connected Components in
-    MapReduce") is the drop-in upgrade if a pathological long-chain
-    graph ever appears; the oracle is DuckDB's recursive CTE computing
-    reachability closure.
+    Plan: iterative min-label propagation WITH POINTER JUMPING on
+    DataFrames (``cc_min_labels``) — neighbor-min plus a label-of-label
+    shortcut each round, giving O(log n) worst-case rounds on any graph
+    (a chain converges in ~log₂ n rounds, vs n for plain propagation —
+    property-pinned on a synthetic 256-chain) while keeping every
+    per-round job a doc_id-keyed shuffle and the driver traffic one
+    scalar.  Candidate pairs are PPJoin-prefix-filtered and the edge
+    list is checkpointed once — the loop never re-derives it.  The
+    oracle contracts the graph by one local-min round, then runs the
+    pruned recursive closure on the condensed graph (see _CC_ORACLE's
+    comment); both sides are exact, so the full value-hash check
+    applies.
     """
     toks = _doc_tokens(spark, sf_dir)
     pairs = (
@@ -715,25 +796,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
-    for _ in range(_CC_MAX_ITERS):
-        prop = edges.join(
-            labels, edges.src == labels.doc_id
-        ).select(F.col("dst").alias("doc_id"), "component_id")
-        labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {_CC_MAX_ITERS} rounds"
-        )
+    labels, _rounds = cc_min_labels(labels, edges)
     return labels
 
 

@@ -198,6 +198,34 @@ def test_cc_clusters_are_closed_over_pairs(spark):
         assert comp == min(docs)
 
 
+def test_cc_chain_converges_in_log_rounds(spark):
+    """The CC loop's pointer-jumping makes worst-case (long-chain)
+    graphs converge in O(log n) rounds, not O(n): a 256-node path graph
+    must collapse to one component (min label 0 everywhere) well within
+    2·log₂(n) + 2 rounds — plain neighbor-min propagation would need
+    255.  Isolated nodes (no edges row) must keep their own id."""
+    from powertrainstreaming_spark.operators.dedup import cc_min_labels
+
+    n = 256
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src BIGINT, dst BIGINT"
+    ).localCheckpoint()
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(n)] + [(10_000, 10_000)],
+        "doc_id BIGINT, component_id BIGINT",
+    ).localCheckpoint()
+    out, rounds = cc_min_labels(labels, edges, max_iters=30)
+    got = {r.doc_id: r.component_id for r in out.collect()}
+    assert got[10_000] == 10_000, "isolated node keeps its own label"
+    assert all(got[i] == 0 for i in range(n)), "chain must fully collapse"
+    import math
+
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, (
+        f"pointer jumping should converge in O(log n) rounds, took {rounds}"
+    )
+
+
 def test_simhash_dedup_finds_exact_duplicates(spark):
     """Identical texts hash to identical fingerprints, so every
     exact-duplicate doc pair (sf0.1 has real ones) must surface in
