@@ -27,14 +27,12 @@ from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
 from powertrainstreaming_spark.plans.registry import query
-from powertrainstreaming_spark.session import ensure_session_confs
-from powertrainstreaming_spark.sources.loaders import (
-    events_ddl,
-    load,
-    shim_events_ts,
-    table_path,
+from powertrainstreaming_spark.sources.loaders import load, table_path
+from powertrainstreaming_spark.streaming.harness import (
+    events_stream,
+    run_bounded,
+    staged_events_stream,
 )
-from powertrainstreaming_spark.streaming.harness import events_stream, run_bounded
 
 # Worker-side callables in this module are shipped pickled BY VALUE, so
 # executors never need this package importable (the external driver's
@@ -62,6 +60,19 @@ def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(events_stream(spark, sf_dir), "append")
 
 
+def tumbling_transform(s: DataFrame) -> DataFrame:
+    """The tumbling-window aggregation, source-agnostic (batch or
+    stream, single- or multi-batch replay — the N-way equivalence tests
+    reuse it verbatim)."""
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("sum_value"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
 @query("stream_tumbling_agg", oracle=_TUMBLING_ORACLE, tier="P0")
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-hour per-event_type count+sum as a real streaming query.
@@ -69,15 +80,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     window(ts, '1 hour').start ≡ date_trunc('hour', ts) (epoch-aligned),
     so the batch oracle is plain SQL.
     """
-    s = events_stream(spark, sf_dir)
-    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        money_sum("value").alias("sum_value"),
-    )
-    flat = agg.select(
-        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
-    )
-    return run_bounded(flat, "complete")
+    return run_bounded(tumbling_transform(events_stream(spark, sf_dir)), "complete")
 
 
 def tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,17 +114,19 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle replicates the window assignment arithmetic: the 4 windows
     containing ts start at bucket(15m, ts) - k·15m for k=0..3.
     """
-    s = events_stream(spark, sf_dir)
+    return run_bounded(sliding_transform(events_stream(spark, sf_dir)), "complete")
+
+
+def sliding_transform(s: DataFrame) -> DataFrame:
     agg = s.groupBy(
         F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("sum_value"),
     )
-    flat = agg.select(
+    return agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
     )
-    return run_bounded(flat, "complete")
 
 
 _SESSION_GAP_SQL = "INTERVAL '30 minutes'"
@@ -160,21 +165,23 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic lag/cumsum sessionization (a new session starts when the
     inter-event gap is ≥ the gap duration).
     """
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
-    sess = s.groupBy(
+    return run_bounded(session_transform(events_stream(spark, sf_dir)), "complete")
+
+
+def session_transform(s: DataFrame) -> DataFrame:
+    sess = s.withWatermark("ts", "1 minute").groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), "user_id"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("sum_value"),
     )
-    flat = sess.select(
+    return sess.select(
         "user_id",
         F.col("sw.start").alias("session_start"),
         F.col("sw.end").alias("session_end"),
         "n_events",
         "sum_value",
     )
-    return run_bounded(flat, "complete")
 
 
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,10 +263,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     stage = _stage_events_twice(sf_dir)
     sdf = _staged_stream(spark, stage)
-    dd = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+    return run_bounded(dedup_transform(sdf), "append")
+
+
+def dedup_transform(s: DataFrame) -> DataFrame:
+    return s.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return run_bounded(dd, "append")
 
 
 @query(
@@ -288,15 +298,19 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be dropped before the aggregation — the semantic heart of
     late-data handling.
     """
-    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    agg = s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+    return run_bounded(watermark_late_transform(events_stream(spark, sf_dir)), "append")
+
+
+def watermark_late_transform(s: DataFrame) -> DataFrame:
+    agg = s.withWatermark("ts", "10 minutes").groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("sum_value"),
     )
-    flat = agg.select(
+    return agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
     )
-    return run_bounded(flat, "append")
 
 
 @query(
@@ -360,17 +374,10 @@ def _stage_events_split(sf_dir: str) -> str:
 
 
 def _staged_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
-    """Streaming DF over a staged scratch dir, one file per micro-batch,
-    with the same footer-probed schema + ts shim as events_stream (the
+    """One-file-per-micro-batch stream over a staged scratch dir (the
     staged copies inherit whatever ts encoding the fixture generation
-    shipped, so the shim must probe, not assume)."""
-    ensure_session_confs(spark)
-    sdf = (
-        spark.readStream.schema(events_ddl(stage_dir))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage_dir)
-    )
-    return shim_events_ts(sdf, stage_dir)
+    shipped, so the shim inside must probe, not assume)."""
+    return staged_events_stream(spark, stage_dir)
 
 
 @query(
@@ -393,7 +400,8 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API choice: Spark 4's transformWithStateInPandas supersedes this
     API upstream, but its Python driver worker needs google.protobuf
-    (probed in-session: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+    (probed in-session, re-confirmed round 5 — google.protobuf still
+    absent: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
     ImportError google.protobuf), which this offline container lacks —
     applyInPandasWithState has no such dependency and expresses the
     identical per-key state contract, so it is the supported path here.
@@ -408,6 +416,13 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is deterministic under any batch split (a float running SUM
     would not be).
     """
+    stage = _stage_events_split(sf_dir)
+    s = _staged_stream(spark, stage)
+    sink = run_bounded(stateful_running_transform(s), "update")
+    return collapse_running_sink(sink)
+
+
+def stateful_running_transform(s: DataFrame) -> DataFrame:
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -435,16 +450,19 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    stage = _stage_events_split(sf_dir)
-    s = _staged_stream(spark, stage).select("user_id", "value")
-    running = s.groupBy("user_id").applyInPandasWithState(
+    return s.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         _update,
         "user_id BIGINT, n_events BIGINT, min_value DOUBLE, max_value DOUBLE",
         "n BIGINT, mn DOUBLE, mx DOUBLE",
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    sink = run_bounded(running, "update")
+
+
+def collapse_running_sink(sink: DataFrame) -> DataFrame:
+    """Collapse update-mode re-emissions to the final per-key state —
+    what an upsert sink does; valid because the running stats are
+    monotone (count up, min down, max up)."""
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.min("min_value").alias("min_value"),

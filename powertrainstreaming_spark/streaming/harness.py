@@ -19,6 +19,7 @@ lineage.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,51 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return shim_events_ts(sdf, path)
+
+
+def stage_events_nway(sf_dir: str, n_files: int, copies: int = 1) -> str:
+    """Stage the events fixture as ``n_files`` row-slices in a scratch
+    dir, for an N-micro-batch replay (``maxFilesPerTrigger=1``).
+
+    Slices preserve fixture row order (the fixture is ts-sorted
+    [MEASURED], so a row-order split models an in-order arrival stream
+    and no row is ever behind the watermark).  The file stream source
+    orders by (modification time, path); both are forced here — mtimes
+    strictly increasing per slice, zero-padded names as tiebreak — so
+    batch k is exactly slice k and the replay is deterministic.
+    ``copies`` > 1 interleaves whole duplicate passes (copy c of slice
+    k arrives after copy c-1 of slice k), the multi-batch duplicate
+    stream for dedup tests.
+    """
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix=f"pts_nway{n_files}_")
+    table = pq.read_table(table_path(sf_dir, "events"))
+    base = 1_600_000_000  # any fixed epoch; only the ordering matters
+    seq = 0
+    for k in range(n_files):
+        lo = k * table.num_rows // n_files
+        hi = (k + 1) * table.num_rows // n_files
+        for c in range(copies):
+            path = f"{stage}/part-{k:04d}-copy{c}.parquet"
+            pq.write_table(table.slice(lo, hi - lo), path)
+            os.utime(path, (base + seq, base + seq))
+            seq += 10
+    return stage
+
+
+def staged_events_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """Streaming DF over a staged scratch dir, one file per micro-batch,
+    with the same footer-probed schema + ts shim as events_stream."""
+    ensure_session_confs(spark)
+    sdf = (
+        spark.readStream.schema(events_ddl(stage_dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    return shim_events_ts(sdf, stage_dir)
 
 
 def run_bounded(

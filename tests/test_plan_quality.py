@@ -92,15 +92,39 @@ def _assert_no_unbounded_product(plan: str, ctx: str = "") -> None:
     """No CartesianProduct ever; BroadcastNestedLoopJoin only for the
     in-plan scalar attach (build side = keys=[] global aggregate → one
     row, cost-identical to a broadcast variable).  A BNLJ between two
-    data-scaled inputs is the #1 scale-killer for pair operators."""
+    data-scaled inputs is the #1 scale-killer for pair operators.
+
+    Checked STRUCTURALLY, per build side, not by plan-wide substring
+    presence (which the scalar attach would always satisfy, making the
+    assertion vacuous): a BNLJ build side is always a
+    ``BroadcastExchange IdentityBroadcastMode``, and the immediate
+    child of every such exchange must be the keys=[] global aggregate
+    — a data-by-data BNLJ regression would put a Project/Scan there
+    and fail here even with a scalar attach elsewhere in the plan.
+    ``ReusedExchange`` nodes carry no subtree; they reference an
+    exchange that is itself checked where it is materialized."""
     assert "CartesianProduct" not in plan, ctx
-    if "BroadcastNestedLoopJoin" in plan:
-        # Heuristic: the scalar attach leaves a keys=[] global aggregate
-        # in the plan; an unblocked data×data pair join has none.  (The
-        # shared scalar subtree is expanded once per join side, and
-        # final=True prints initial+final AQE plans, so occurrence
-        # counts are not meaningful.)
-        assert "HashAggregate(keys=[]" in plan, (ctx, plan[:800])
+    lines = plan.splitlines()
+    structural = ("QueryStage", "InputAdapter", "WholeStageCodegen", "== ")
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        if "ReusedExchange" in line:
+            continue
+        child = next(
+            (
+                nxt
+                for nxt in lines[i + 1 : i + 5]
+                if nxt.strip() and not any(s in nxt for s in structural)
+            ),
+            "",
+        )
+        assert "HashAggregate(keys=[]" in child, (
+            ctx,
+            "identity-broadcast build side is not the one-row scalar aggregate:",
+            line[:200],
+            child[:200],
+        )
 
 
 def test_pair_join_is_blocked_never_cartesian(spark):

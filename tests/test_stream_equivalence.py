@@ -37,6 +37,82 @@ def test_session_stream_equals_batch(spark):
     assert _hash_df(s) == _hash_df(b)
 
 
+import pytest
+
+from powertrainstreaming_spark.operators.streaming import (
+    collapse_running_sink,
+    dedup_transform,
+    session_transform,
+    sliding_transform,
+    stateful_running_transform,
+    tumbling_transform,
+    watermark_late_transform,
+)
+from powertrainstreaming_spark.streaming.harness import (
+    run_bounded,
+    stage_events_nway,
+    staged_events_stream,
+)
+
+# (transform, output_mode, copies, sink-collapse) — every stateful §2.10
+# shape.  copies=2 for dedup so later micro-batches really carry
+# duplicates of earlier ones.
+_NWAY_CASES = {
+    "tumbling": (tumbling_transform, "complete", 1, None),
+    "sliding": (sliding_transform, "complete", 1, None),
+    "session": (session_transform, "complete", 1, None),
+    "watermark_late": (watermark_late_transform, "append", 1, None),
+    "dedup": (dedup_transform, "append", 2, None),
+    "stateful_running": (
+        stateful_running_transform,
+        "update",
+        1,
+        collapse_running_sink,
+    ),
+}
+
+
+_NWAY_EXPECTED: dict[str, str] = {}
+
+
+def _nway_reference(spark, case: str) -> str:
+    """Single-micro-batch replay of the case — the reference hash.
+    Computed on demand (not from whichever parametrization runs first),
+    so any test subset still checks against the true N=1 answer."""
+    if case not in _NWAY_EXPECTED:
+        transform, mode, copies, collapse = _NWAY_CASES[case]
+        stage = stage_events_nway(SF, 1, copies=copies)
+        out = run_bounded(transform(staged_events_stream(spark, stage)), mode)
+        if collapse is not None:
+            out = collapse(out)
+        _NWAY_EXPECTED[case] = _hash_df(out)
+    return _NWAY_EXPECTED[case]
+
+
+@pytest.mark.parametrize("case", sorted(_NWAY_CASES))
+@pytest.mark.parametrize("n_files", [4, 16])
+def test_nway_split_is_batch_equivalent(spark, case, n_files):
+    """Micro-batch semantics under adversarial batching: the SAME data
+    replayed as 1, 4, or 16 micro-batches (one file per trigger, arrival
+    order forced) must produce the SAME final answer for every stateful
+    shape — windows spanning a split are updated across batches, dedup
+    state carries over, running state persists, and append-mode
+    emissions accumulate to the identical set.  The N=1 run doubles as
+    the link to the batch twins (covered by the tests above and the
+    DuckDB gate), so agreement across N pins full batch-equivalence.
+
+    This holds because the fixture is ts-sorted, so an in-order split
+    never strands a row behind the watermark; it is a semantics test of
+    the ENGINE's state handoff between batches, not of late-data drops
+    (stream_watermark_late's oracle covers the drop rule)."""
+    transform, mode, copies, collapse = _NWAY_CASES[case]
+    stage = stage_events_nway(SF, n_files, copies=copies)
+    out = run_bounded(transform(staged_events_stream(spark, stage)), mode)
+    if collapse is not None:
+        out = collapse(out)
+    assert _hash_df(out) == _nway_reference(spark, case)
+
+
 def test_foreachbatch_checkpoint_restart_exactly_once(spark, tmp_path):
     """Operational semantics of the production sink: two AvailableNow
     runs sharing one checkpoint behave like a stopped-and-restarted

@@ -166,6 +166,30 @@ def test_extras_are_intentional():
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
+def test_every_extension_has_a_survey_212_row():
+    """Every extension key (registered beyond the §2 contract) must
+    carry exactly one row in SURVEY §2.12's table stating what it is
+    and how it's checked — the allow-list above says an extra is
+    intentional; this says it's DOCUMENTED, so extension sprawl stays
+    auditable as the registry grows (a new registration fails here
+    until its one-line 'why it exists' row is written)."""
+    import re
+    from pathlib import Path
+
+    survey = Path(__file__).resolve().parent.parent / "SURVEY.md"
+    text = survey.read_text()
+    start = text.index("### 2.12")
+    # Table ends at the next heading (or EOF).
+    m = re.search(r"\n#+ ", text[start + 1 :])
+    section = text[start : start + 1 + m.start()] if m else text[start:]
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \|", section, flags=re.M)
+    extras = set(all_defs()) - SURVEY_KEYS
+    missing = extras - set(rows)
+    assert not missing, f"extension keys without a SURVEY §2.12 row: {sorted(missing)}"
+    dupes = {k for k in rows if rows.count(k) > 1}
+    assert not dupes, f"duplicate §2.12 rows: {sorted(dupes)}"
+
+
 def test_query_surface_is_contract_first_tier_ordered():
     """queries()/oracle_sql() iterate SURVEY §2-contract keys with SQL
     oracles first (P0 → P1 → P2, alphabetical within a tier), then
