@@ -470,6 +470,144 @@ def collapse_running_sink(sink: DataFrame) -> DataFrame:
     )
 
 
+_TIMEOUT_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= {_SESSION_GAP_SQL}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_no,
+               MAX(session_no) OVER (PARTITION BY user_id) AS last_session,
+               MIN(ts) AS session_start,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM numbered
+        GROUP BY user_id, session_no
+    ), mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id, session_start,
+           last_ts + {_SESSION_GAP_SQL} AS session_end,
+           n_events, min_value, max_value
+    FROM sess, mx
+    WHERE session_no < last_session
+       OR last_ts + {_SESSION_GAP_SQL} < m - INTERVAL '10 minutes'
+    """
+
+
+@query("stream_stateful_timeout", oracle=_TIMEOUT_ORACLE, tier="P2")
+def stream_stateful_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key state EVICTION via EventTimeTimeout — the missing half
+    of arbitrary stateful processing (stream_stateful_running keeps
+    state forever; production 100 TB streams must expire it, or state
+    grows with the key universe).
+
+    Hand-rolled sessionization (30-min gap, mirroring
+    stream_session_window) in applyInPandasWithState: a session closes
+    EITHER when a later event of the same user proves the gap (emitted
+    while processing that event — any batch, any split) OR, for each
+    user's final session, when the event-time watermark passes
+    last_ts + gap and the registered timeout fires (state.remove() —
+    the state store genuinely shrinks).  Sessions still open at
+    end-of-stream are withheld, exactly like append-mode windows.
+
+    That makes the emitted set CLOSED-FORM — every non-final session,
+    plus final sessions with last_ts + gap < max(ts) - delay
+    [empirically validated at sf0.001/sf0.01: the strict < matches the
+    engine's watermark comparison] — so unlike most stateful-timeout
+    code this is full value-hash checkable in SQL.  Stats are
+    count/min/max (order-insensitive; a float running sum would be
+    batch-split-dependent).  Batch-split invariance is pinned by the
+    N-way equivalence test at N ∈ {4, 16}.
+    """
+    s = events_stream(spark, sf_dir)
+    return run_bounded(stateful_timeout_transform(s), "append")
+
+
+def stateful_timeout_transform(s: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = 30 * 60 * 1_000_000
+    gap_ms = gap_us // 1000
+
+    def _emit_df(sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [s_[0] for s_ in sessions],
+                "session_start": pd.to_datetime(
+                    [s_[1] for s_ in sessions], unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    [s_[2] + gap_us for s_ in sessions], unit="us"
+                ),
+                "n_events": [s_[3] for s_ in sessions],
+                "min_value": [s_[4] for s_ in sessions],
+                "max_value": [s_[5] for s_ in sessions],
+            }
+        )
+
+    def _expire(key, pdfs, state):
+        uid = key[0]
+        closed = []
+        if state.hasTimedOut:
+            n, mn, mx, st, last = state.get
+            state.remove()
+            closed.append((uid, st, last, n, mn, mx))
+            yield _emit_df(closed)
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cur = tuple(state.get) if state.exists else None  # (n, mn, mx, st, last)
+        # Normalize to µs epochs whatever unit the Arrow→pandas path
+        # chose (ns under legacy conversion, us under pandas 2-native).
+        ts_col = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        for ts_us, v in zip(ts_col, pdf["value"].tolist()):
+            if cur is not None and ts_us - cur[4] >= gap_us:
+                closed.append((uid, cur[3], cur[4], cur[0], cur[1], cur[2]))
+                cur = None
+            if cur is None:
+                cur = (1, v, v, ts_us, ts_us)
+            else:
+                cur = (cur[0] + 1, min(cur[1], v), max(cur[2], v), cur[3], ts_us)
+        wm_ms = state.getCurrentWatermarkMs()
+        timeout_ms = cur[4] // 1000 + gap_ms
+        if timeout_ms <= wm_ms:
+            # Already expired relative to data seen this batch (this
+            # user's stream ended long before others'): the timeout
+            # could never be registered (must be > watermark) but the
+            # final-emission criterion is certainly met — close now.
+            closed.append((uid, cur[3], cur[4], cur[0], cur[1], cur[2]))
+        else:
+            state.update(cur)
+            state.setTimeoutTimestamp(timeout_ms)
+        yield _emit_df(closed)
+
+    return (
+        s.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _expire,
+            "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP,"
+            " n_events BIGINT, min_value DOUBLE, max_value DOUBLE",
+            "n BIGINT, mn DOUBLE, mx DOUBLE, st BIGINT, last BIGINT",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 @query(
     "join_interval_stream",
     oracle="""

@@ -195,7 +195,30 @@ def main() -> None:
     print("wrote docs/SCALE.md")
 
 
-def main_100x() -> None:
+_TIER100_PROBES = [
+    "dedup_near_minhash",
+    "dedup_near_exact",
+    "dedup_incremental_minhash",
+    "pipeline_corpus_clean",
+    "sim_pair_join_threshold",
+    "sim_pair_multiprobe",
+    "sim_topk_per_query",
+    "dedup_embedding_cosine",
+    "sim_lsh_rp_pairs",
+]
+
+_STAGE10 = "/tmp/pts_tier_stage10"
+_STAGE100 = "/tmp/pts_tier_stage100"
+
+
+def _stage_into(path: str, copies: int) -> None:
+    if os.path.isdir(path):
+        return
+    tmp = stage_10x(copies=copies, tables=["documents", "embeddings"])
+    os.rename(tmp, path)
+
+
+def main_100x(only: str | None = None) -> None:
     """100× tier: the dedup/cosine flagships only, corpus tables only.
 
     Replication model matches the 10× tier (documents token-disjoint,
@@ -205,70 +228,80 @@ def main_100x() -> None:
     blocking, RP-LSH bands, prefix filtering) keep pair work linear in
     the TRUE output two decades past the fixtures.
 
-        python scripts/scale_probe.py 100   # appends to docs/SCALE.md
+    Run ONE OP PER PROCESS (the driver loop below does this): a single
+    JVM accumulates shuffle spill across ops — the 100× minhash alone
+    spills tens of GB, and Spark only reclaims local dirs at JVM exit —
+    so an all-in-one run exhausts local disk where per-process runs
+    don't.  Staged replicas persist at fixed paths between invocations.
+
+        python scripts/scale_probe.py 100          # driver loop
+        python scripts/scale_probe.py 100 <op>     # one op, one JVM
     """
+    import subprocess
+
+    if only is None:
+        _stage_into(_STAGE10, 10)
+        _stage_into(_STAGE100, 100)
+        header = [
+            "",
+            "# 100× tier (flagships)",
+            "",
+            "Corpus tables replicated ×100 (documents token-disjoint,",
+            "embeddings verbatim — same growth model as the 10× tier, two",
+            "decades out); all other tables fixed.  µs/row = probe time over",
+            "that scale's OUTPUT rows: flat 10×→100× means the blocking does",
+            "work proportional to what it must emit, i.e. the adaptive",
+            "ladders hold where a fixed-modulus scheme would go quadratic.",
+            "One op per JVM so shuffle spill is reclaimed between ops.",
+            "",
+            "| operator | 10× (s) | 100× (s) | µs/row 10× | µs/row 100× | rows 100× |",
+            "|---|---|---|---|---|---|",
+        ]
+        with open("docs/SCALE.md", "a") as f:
+            f.write("\n".join(header) + "\n")
+        for name in _TIER100_PROBES:
+            r = subprocess.run(
+                [sys.executable, __file__, "100", name],
+                capture_output=True,
+                text=True,
+            )
+            row = next(
+                (ln for ln in r.stdout.splitlines() if ln.startswith("| ")),
+                f"| {name} | ERROR (exit {r.returncode}) | | | | |",
+            )
+            with open("docs/SCALE.md", "a") as f:
+                f.write(row + "\n")
+            print(row, flush=True)
+        shutil.rmtree(_STAGE100, ignore_errors=True)
+        shutil.rmtree(_STAGE10, ignore_errors=True)
+        print("appended 100x tier to docs/SCALE.md")
+        return
+
     from powertrainstreaming_spark.plans.registry import all_defs
     from powertrainstreaming_spark.session import get_spark
 
-    defs = all_defs()
-    probes = [
-        "dedup_near_minhash",
-        "dedup_near_exact",
-        "dedup_incremental_minhash",
-        "pipeline_corpus_clean",
-        "sim_pair_join_threshold",
-        "sim_pair_multiprobe",
-        "sim_topk_per_query",
-        "dedup_embedding_cosine",
-        "sim_lsh_rp_pairs",
-    ]
-    spark = get_spark(app_name="pts-scale-probe-100x")
-    print("staging 100x replica (documents token-disjoint, embeddings verbatim)...",
-          flush=True)
-    big = stage_10x(copies=100, tables=["documents", "embeddings"])
+    spark = get_spark(app_name=f"pts-scale-100x-{only}")
+    fn = all_defs()[only].fn
 
-    def timed(fn, sf_dir, warm):
+    def timed(sf_dir, warm):
         if warm:
             fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()
         return time.perf_counter() - t0, rows
 
-    lines = [
-        "",
-        "# 100× tier (flagships)",
-        "",
-        "Corpus tables replicated ×100 (documents token-disjoint,",
-        "embeddings verbatim — same growth model as the 10× tier, two",
-        "decades out); all other tables fixed.  µs/row = probe time over",
-        "that scale's OUTPUT rows: flat 10×→100× means the blocking does",
-        "work proportional to what it must emit, i.e. the adaptive",
-        "ladders hold where a fixed-modulus scheme would go quadratic.",
-        "",
-        "| operator | 10× (s) | 100× (s) | µs/row 10× | µs/row 100× | rows 100× |",
-        "|---|---|---|---|---|---|",
-    ]
-    mid = stage_10x(copies=10, tables=["documents", "embeddings"])
-    for name in probes:
-        fn = defs[name].fn
-        t10, r10 = timed(fn, mid, warm=True)
-        t100, r100 = timed(fn, big, warm=False)
-        us10 = 1e6 * t10 / max(r10, 1)
-        us100 = 1e6 * t100 / max(r100, 1)
-        lines.append(
-            f"| {name} | {t10:.2f} | {t100:.2f} | {us10:.1f} | {us100:.1f} | {r100} |"
-        )
-        print(lines[-1], flush=True)
-
-    with open("docs/SCALE.md", "a") as f:
-        f.write("\n".join(lines) + "\n")
-    shutil.rmtree(big, ignore_errors=True)
-    shutil.rmtree(mid, ignore_errors=True)
-    print("appended 100x tier to docs/SCALE.md")
+    t10, r10 = timed(_STAGE10, warm=True)
+    t100, r100 = timed(_STAGE100, warm=False)
+    us10 = 1e6 * t10 / max(r10, 1)
+    us100 = 1e6 * t100 / max(r100, 1)
+    print(
+        f"| {only} | {t10:.2f} | {t100:.2f} | {us10:.1f} | {us100:.1f} | {r100} |",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "100":
-        main_100x()
+        main_100x(sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         main()

@@ -45,6 +45,7 @@ from powertrainstreaming_spark.operators.streaming import (
     session_transform,
     sliding_transform,
     stateful_running_transform,
+    stateful_timeout_transform,
     tumbling_transform,
     watermark_late_transform,
 )
@@ -69,6 +70,7 @@ _NWAY_CASES = {
         1,
         collapse_running_sink,
     ),
+    "stateful_timeout": (stateful_timeout_transform, "append", 1, None),
 }
 
 

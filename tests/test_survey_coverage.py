@@ -126,6 +126,7 @@ def test_extras_are_intentional():
         "maintenance_compact_files",
         "sim_lsh_rp_pairs",
         "sim_pair_multiprobe",
+        "stream_stateful_timeout",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
