@@ -17,6 +17,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.scratch import scratch_dir
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
@@ -560,9 +561,7 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is materialized inside the scope because the optimizer runs
     at action time, not plan-build time.
     """
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="pts_bloom_join_")
+    out = scratch_dir(prefix="pts_bloom_join_")
     with _scoped_confs(spark, _BLOOM_CONFS):
         _bloom_join_df(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select(

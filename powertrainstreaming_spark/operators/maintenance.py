@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
+
+from powertrainstreaming_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +29,7 @@ _PRUNE_LANGS = ("en", "de")
 
 
 def _partitioned_docs_dir(spark: SparkSession, sf_dir: str) -> str:
-    out = tempfile.mkdtemp(prefix="pts_part_docs_")
+    out = scratch_dir(prefix="pts_part_docs_")
     docs = load(spark, sf_dir, "documents")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     return out
@@ -106,7 +107,7 @@ def compact_dir(spark: SparkSession, src_dir: str, target_bytes: int) -> str:
     maintenance jobs that run continuously at 100 TB.)"""
     total = sum(os.path.getsize(p) for p in _parquet_files(src_dir))
     n_out = max(1, -(-total // target_bytes))  # ceil
-    out = tempfile.mkdtemp(prefix="pts_compacted_")
+    out = scratch_dir(prefix="pts_compacted_")
     spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(out)
     return out
 
@@ -126,7 +127,7 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     The staged split uses repartition (synthesizing the fragmented
     input); the compaction itself is shuffle-free coalesce.
     """
-    frag = tempfile.mkdtemp(prefix="pts_frag_")
+    frag = scratch_dir(prefix="pts_frag_")
     events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -155,7 +156,7 @@ def dpp_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     severity dimension filtered to sev ≤ 2 — Catalyst inserts a
     dynamicpruning subquery into the fact scan's PartitionFilters, so
     only the 2 matching directories are ever read."""
-    out = tempfile.mkdtemp(prefix="pts_dpp_orders_")
+    out = scratch_dir(prefix="pts_dpp_orders_")
     orders = load(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     fact = spark.read.schema(
@@ -226,7 +227,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog and reads with it declared, which is the loaders.py
     discipline applied over time.
     """
-    out = tempfile.mkdtemp(prefix="pts_evolve_")
+    out = scratch_dir(prefix="pts_evolve_")
     orders = load(spark, sf_dir, "orders")
     gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
@@ -318,7 +319,7 @@ def _snapshot_table_dir(spark: SparkSession, sf_dir: str) -> str:
     the same mechanism (minus stats) as an Iceberg/Delta snapshot."""
     import json
 
-    out = tempfile.mkdtemp(prefix="pts_snap_docs_")
+    out = scratch_dir(prefix="pts_snap_docs_")
     docs = load(spark, sf_dir, "documents")
     g1 = os.path.join(out, "g1")
     g2 = os.path.join(out, "g2")

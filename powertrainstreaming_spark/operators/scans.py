@@ -13,6 +13,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.scratch import scratch_dir
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import TABLE_DDL, TABLES, load
 
@@ -81,9 +82,7 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java's shortest-round-trip double formatting makes the
     p_retailprice text round trip exact in both formats.
     """
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="pts_scan_csv_json_")
+    out = scratch_dir(prefix="pts_scan_csv_json_")
     part = load(spark, sf_dir, "part")
     cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
     part.select(cols).write.mode("overwrite").option("header", True).csv(f"{out}/csv")
@@ -138,9 +137,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     never inferred; predicate pushdown works identically (ORC carries
     min/max stripe stats like parquet row groups).
     """
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="pts_scan_orc_")
+    out = scratch_dir(prefix="pts_scan_orc_")
     supplier = load(spark, sf_dir, "supplier")
     supplier.write.mode("overwrite").orc(out)
     back = spark.read.schema(TABLE_DDL["supplier"]).orc(out)

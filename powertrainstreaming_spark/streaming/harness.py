@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from powertrainstreaming_spark.scratch import scratch_dir
 from powertrainstreaming_spark.session import ensure_session_confs
 from powertrainstreaming_spark.sources.loaders import (
     events_ddl,
@@ -61,15 +62,15 @@ def stage_events_nway(sf_dir: str, n_files: int, copies: int = 1) -> str:
     orders by (modification time, path); both are forced here — mtimes
     strictly increasing per slice, zero-padded names as tiebreak — so
     batch k is exactly slice k and the replay is deterministic.
-    ``copies`` > 1 interleaves whole duplicate passes (copy c of slice
-    k arrives after copy c-1 of slice k), the multi-batch duplicate
-    stream for dedup tests.
+    ``copies`` > 1 duplicates each slice in place: copy c of slice k
+    arrives in the micro-batch immediately after copy c-1 of slice k
+    (so a duplicate always lands one batch later, NOT a whole pass
+    later) — the adjacent-batch duplicate stream for dedup tests.
+    Staged dirs come from scratch_dir and are reaped at process exit.
     """
-    import tempfile
-
     import pyarrow.parquet as pq
 
-    stage = tempfile.mkdtemp(prefix=f"pts_nway{n_files}_")
+    stage = scratch_dir(prefix=f"pts_nway{n_files}_")
     table = pq.read_table(table_path(sf_dir, "events"))
     base = 1_600_000_000  # any fixed epoch; only the ordering matters
     seq = 0

@@ -27,6 +27,34 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _no_scratch_leak():
+    """The suite must leave /tmp net-clean of pts_* scratch dirs.
+
+    scratch.scratch_dir reaps at interpreter exit (atexit), which runs
+    AFTER this fixture's teardown — so we assert against the module's
+    live registry instead of the filesystem: every pts_* dir that
+    appeared during the run must be one scratch.py is tracking for the
+    exit purge.  A bare mkdtemp (the historic leak pattern) shows up
+    here as an untracked dir and fails the suite.
+    """
+    import glob
+    import tempfile
+
+    from powertrainstreaming_spark import scratch
+
+    tmp = tempfile.gettempdir()
+    before = set(glob.glob(os.path.join(tmp, "pts_*")))
+    yield
+    after = set(glob.glob(os.path.join(tmp, "pts_*")))
+    untracked = sorted((after - before) - scratch._LIVE)
+    assert not untracked, (
+        f"{len(untracked)} pts_* scratch dirs were created outside "
+        f"scratch.scratch_dir and would leak past process exit: "
+        f"{untracked[:5]}"
+    )
+
+
 @pytest.fixture(scope="session")
 def sf_small():
     return "/root/testdata/sf0.001"

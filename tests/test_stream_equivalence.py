@@ -78,9 +78,12 @@ _NWAY_EXPECTED: dict[str, str] = {}
 
 
 def _nway_reference(spark, case: str) -> str:
-    """Single-micro-batch replay of the case — the reference hash.
-    Computed on demand (not from whichever parametrization runs first),
-    so any test subset still checks against the true N=1 answer."""
+    """n_files=1 replay of the case — the reference hash.  Computed on
+    demand (not from whichever parametrization runs first), so any test
+    subset still checks against the true reference.  NOTE: for the
+    dedup case copies=2 stages TWO files, so its "reference" is itself
+    a 2-micro-batch replay (duplicate pass in batch 2) — the batch-twin
+    link for dedup is its DuckDB oracle, not this hash."""
     if case not in _NWAY_EXPECTED:
         transform, mode, copies, collapse = _NWAY_CASES[case]
         stage = stage_events_nway(SF, 1, copies=copies)
@@ -170,3 +173,80 @@ def test_foreachbatch_checkpoint_restart_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == table.num_rows
     assert final.select("event_id").distinct().count() == table.num_rows
+
+
+def test_stateful_timeout_exact_boundary(spark, tmp_path):
+    """Pin the watermark-boundary comparison of stream_stateful_timeout
+    (round-5 ADVICE): a final session whose timeout (last_ts + gap)
+    lands EXACTLY on the final watermark (max ts − delay) must be
+    treated identically by the engine and the DuckDB oracle.  The
+    oracle's emission criterion is strict (`last_ts + gap < m − delay`),
+    so at exact equality the session is WITHHELD — this test stages a
+    corpus where that equality holds at millisecond granularity and
+    asserts both engines agree, so any engine-version drift in the
+    eviction comparison (< vs <=) fails loudly instead of latently.
+    """
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from powertrainstreaming_spark.operators.streaming import (
+        _TIMEOUT_ORACLE,
+        stateful_timeout_transform,
+    )
+    from powertrainstreaming_spark.streaming.harness import (
+        run_bounded,
+        staged_events_stream,
+    )
+
+    t0 = pd.Timestamp("2025-01-01 12:00:00")
+    mn = pd.Timedelta(minutes=1)
+    rows = [
+        # user 1 — THE boundary session: last_ts + 30min == max(ts) − 10min
+        (1, t0, 1, "click", 5.0),
+        (2, t0 + 5 * mn, 1, "click", 9.0),  # last_ts = t0+5min → timeout t0+35min
+        # user 2 — carries max(ts) = t0+45min → final watermark t0+35min
+        (3, t0 + 45 * mn, 2, "view", 1.0),
+        # user 3 — clearly-expired control: timeout t0−90min ≪ watermark
+        (4, t0 - 120 * mn, 3, "click", 2.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    stage = str(tmp_path / "boundary")
+    os.makedirs(stage)
+    path = os.path.join(stage, "events.parquet")
+    pq.write_table(table, path)
+
+    out = run_bounded(
+        stateful_timeout_transform(staged_events_stream(spark, stage)), "append"
+    )
+    engine = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    oracle = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT user_id, session_start, session_end, n_events"
+            f" FROM ({_TIMEOUT_ORACLE})"
+        ).fetchall()
+    )
+
+    # Strict <: user 1 (exact boundary) and user 2 (own session open)
+    # withheld; only the expired control emits.
+    assert [e[0] for e in engine] == [3], engine
+    assert engine == oracle
