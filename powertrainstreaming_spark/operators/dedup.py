@@ -106,32 +106,57 @@ def _token_set_sizes(toks: DataFrame) -> DataFrame:
 
 
 def _pair_jaccard(toks: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for the given (doc_a, doc_b) pairs."""
-    sizes = _token_set_sizes(toks)
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(
-        F.col("doc_id").alias("doc_b_t"), F.col("token").alias("token_b")
-    )
-    inter = (
-        pairs.join(ta, "doc_a")
-        .join(
-            tb,
-            (F.col("doc_b") == F.col("doc_b_t"))
-            & (F.col("token") == F.col("token_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    """Exact token-set Jaccard for the given (doc_a, doc_b) pairs.
+
+    PACKED formulation: each doc's distinct tokens are collected into
+    one array, the pair list picks up both arrays via two equi-joins
+    (|pairs| rows each), and the intersection size is computed
+    in-expression with array_intersect — all whole-stage-codegen.
+
+    Why not the textbook per-token join (pairs ⋈ toks_a ⋈ toks_b ON
+    token, GROUP BY pair)?  Its second shuffle materializes one row
+    per (pair, token-of-A) — Σ|A| over all candidate pairs.  At the
+    100× probe tier that is ~10⁹ rows / tens of GB of shuffle spill
+    from a 151 MB input (the round-5 probe died on exactly this,
+    exhausting local disk).  Packing moves the same information as
+    array payload on |pairs| rows: ~50× fewer shuffle rows and no
+    per-row Tungsten overhead per token.
+
+    Tokens travel as int64 CODES, not strings: two independent
+    polynomial hashes packed into one long (h1·2³¹ + h2 < 2⁶²).  A
+    Tungsten string array element costs ~24 B (offset/len word plus
+    8-B-padded bytes) vs 8 B for a long — measured 43 GB → ~14 GB of
+    100×-tier shuffle for the same pairs.  The code is NOT decoded
+    anywhere; equality of codes stands in for equality of tokens.
+    Exactness: i differs from the true token intersection only if two
+    DISTINCT tokens collide in BOTH hashes — P ≈ |vocab|²/2 / (M1·M2)
+    ≈ 5e-11 at gate scale, and the collision would be deterministic
+    (same verdict every run), so the DuckDB oracles keep intersecting
+    raw tokens and the hash gate itself continuously re-validates the
+    no-collision assumption at two scales.
+    """
+    code = (
+        poly_hash("token") * F.lit(2_147_483_648)
+        + poly_hash("token", POLY_B2, POLY_M2)
+    ).alias("code")
+    coded = toks.select("doc_id", code)
+    sets_a = coded.groupBy("doc_id").agg(
+        F.collect_list("code").alias("toks_a"),
+        F.count(F.lit(1)).alias("na"),
+    ).select(F.col("doc_id").alias("doc_a"), "toks_a", "na")
+    sets_b = coded.groupBy("doc_id").agg(
+        F.collect_list("code").alias("toks_b"),
+        F.count(F.lit(1)).alias("nb"),
+    ).select(F.col("doc_id").alias("doc_b"), "toks_b", "nb")
+    i = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+                i.cast("double") / (F.col("na") + F.col("nb") - i), 6
             ).alias("jaccard"),
         )
     )
@@ -228,25 +253,42 @@ def _minhash_band_sigs(toks: DataFrame) -> DataFrame:
     exact-int64 seed family h_i(t) = ((2i+1)·H(t) + i) mod p, folded
     into 4 bands (_MINHASH_B) of 8 rows (_MINHASH_R)."""
     th = toks.select("doc_id", poly_hash("token").alias("h"))
-    seeded = th.withColumn(
-        "seed", F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)))
+    # All k mins in ONE hash aggregate as k columns — NOT an
+    # explode(sequence(0, k-1)) + groupBy(doc_id, seed): the explode
+    # materializes k× the token rows through the aggregate iterator
+    # (~875M rows at the 100× probe tier) for the identical partial-agg
+    # output.  Column-wise, the map side streams each token row once
+    # and updates k accumulators; shuffle volume is docs × k longs
+    # either way, but CPU drops ~k-fold.
+    mins = th.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + i) % POLY_M).alias(f"mh{i}")
+            for i in range(_MINHASH_K)
+        ]
     )
-    mh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            ((2 * F.col("seed") + 1) * F.col("h") + F.col("seed")) % POLY_M
-        ).alias("mh")
+    # Fold each band's r mins (seed order) into one signature, then
+    # stack the b bands into (doc_id, band, sig) rows — a b-element
+    # explode per doc, not per token.  Values are bit-identical to the
+    # historical explode+collect_list formulation (same mins, same
+    # fold order), so _MINHASH_SIG_CTES needs no change.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                poly_fold(
+                    F.array(
+                        *[
+                            F.col(f"mh{b * _MINHASH_R + j}")
+                            for j in range(_MINHASH_R)
+                        ]
+                    )
+                ).alias("sig"),
+            )
+            for b in range(_MINHASH_B)
+        ]
     )
-    return (
-        mh.withColumn("band", (F.col("seed") / F.lit(_MINHASH_R)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            poly_fold(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.getField("mh"),
-                )
-            ).alias("sig")
-        )
+    return mins.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 

@@ -20,6 +20,7 @@ additionally asserts the suite leaves /tmp net-clean of `pts_*` dirs.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -27,8 +28,14 @@ _LIVE: set[str] = set()
 
 
 def scratch_dir(prefix: str) -> str:
-    """mkdtemp that is reaped at interpreter exit instead of leaking."""
-    path = tempfile.mkdtemp(prefix=prefix)
+    """mkdtemp that is reaped at interpreter exit instead of leaking.
+
+    The owning PID is embedded in the name (``<prefix>p<pid>_``) so
+    tests can tell this process's scratch dirs from a concurrently
+    running probe/sweep process's — the leak assertion must not trip
+    on a sibling process's staging work.
+    """
+    path = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     _LIVE.add(path)
     return path
 

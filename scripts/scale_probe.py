@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import tempfile
 import time
 from pathlib import Path
 
@@ -48,7 +47,12 @@ OFFSET_COLS = {
 
 
 def stage_10x(copies: int = COPIES, tables: list[str] | None = None) -> str:
-    out = tempfile.mkdtemp(prefix=f"pts_scale{copies}_")
+    from powertrainstreaming_spark.scratch import scratch_dir
+
+    # scratch_dir, not bare mkdtemp: a probe killed mid-run must not
+    # leak a multi-GB replica (tier staging renames the dir to its
+    # persistent cache path before exit, which the purge tolerates).
+    out = scratch_dir(f"pts_scale{copies}_")
     for table, id_cols in OFFSET_COLS.items():
         src = pq.read_table(f"{SRC}/{table}.parquet")
         tdir = os.path.join(out, f"{table}.parquet")
@@ -117,6 +121,7 @@ def main() -> None:
         "fn_json": defs["fn_json"].fn,
         "sim_topk_per_query": defs["sim_topk_per_query"].fn,
         "sim_pair_join_threshold": defs["sim_pair_join_threshold"].fn,
+        "sim_pair_multiprobe": defs["sim_pair_multiprobe"].fn,
         "sim_lsh_rp_pairs": defs["sim_lsh_rp_pairs"].fn,
         "dedup_embedding_cosine": defs["dedup_embedding_cosine"].fn,
         "dedup_fuzzy_levenshtein": defs["dedup_fuzzy_levenshtein"].fn,

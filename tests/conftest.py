@@ -39,6 +39,7 @@ def _no_scratch_leak():
     here as an untracked dir and fails the suite.
     """
     import glob
+    import re
     import tempfile
 
     from powertrainstreaming_spark import scratch
@@ -47,7 +48,19 @@ def _no_scratch_leak():
     before = set(glob.glob(os.path.join(tmp, "pts_*")))
     yield
     after = set(glob.glob(os.path.join(tmp, "pts_*")))
-    untracked = sorted((after - before) - scratch._LIVE)
+    # Ignore dirs stamped with ANOTHER process's pid (a concurrently
+    # running probe/sweep staging its own scratch) and the
+    # intentionally persistent tier-stage caches.
+    own_or_unmarked = {
+        p
+        for p in after - before
+        if not p.startswith(os.path.join(tmp, "pts_tier_stage"))
+        and (
+            (m := re.search(r"p(\d+)_[^/]*$", p)) is None
+            or int(m.group(1)) == os.getpid()
+        )
+    }
+    untracked = sorted(own_or_unmarked - scratch._LIVE)
     assert not untracked, (
         f"{len(untracked)} pts_* scratch dirs were created outside "
         f"scratch.scratch_dir and would leak past process exit: "
