@@ -403,7 +403,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API choice: Spark 4's transformWithStateInPandas supersedes this
     API upstream, but its Python driver worker needs google.protobuf
-    (probed in-session, re-confirmed round 5 — google.protobuf still
+    (probed in-session, re-confirmed round 6 — google.protobuf still
     absent: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
     ImportError google.protobuf), which this offline container lacks —
     applyInPandasWithState has no such dependency and expresses the
