@@ -655,3 +655,159 @@ def corpus_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= _DECONTAM_TAU).alias("leaked"),
         )
     )
+
+
+# Epoch shuffle: deterministic per-epoch training order, sharded
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 8
+# Knuth multiplicative mixer + a small odd epoch mixer, independent of
+# sample_bernoulli_hash's line-number mixer so the two keyed decisions
+# (keep/drop and ordering) are uncorrelated.
+_SHUFFLE_A = 2654435761
+_SHUFFLE_B = 97531
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+    WITH epochs AS (
+        SELECT unnest(generate_series(1, {_SHUFFLE_EPOCHS})) AS epoch
+    ),
+    keyed AS (
+        SELECT d.doc_id, e.epoch,
+               ((d.doc_id % {POLY_M}) * {_SHUFFLE_A}
+                + e.epoch * {_SHUFFLE_B}) % {POLY_M} AS shuffle_key
+        FROM documents d CROSS JOIN epochs e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           shuffle_key % {_SHUFFLE_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch, shuffle_key % {_SHUFFLE_SHARDS}
+               ORDER BY shuffle_key, doc_id
+           ) AS INT) AS shard_pos,
+           doc_id, shuffle_key
+    FROM keyed
+"""
+
+
+@query("corpus_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE, tier="P2")
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: every document gets,
+    per epoch, a pseudorandom shard and a within-shard position —
+    the (epoch, shard, shard_pos) triple IS the training data order a
+    loader replays, with a different permutation each epoch and
+    bit-identical results across engines, reruns, and re-shardings
+    (no RNG; the key is exact int64 arithmetic on (doc_id, epoch)).
+
+    100 TB design: the epoch fan-out is a map-side explode (no join —
+    a literal 3-row build side would trip the BNLJ audit and shuffle
+    for nothing), shard assignment is map-only arithmetic, and the
+    only shuffle is the window's partitionBy(epoch, shard).  Position
+    is ranked WITHIN a shard, never globally: a global ORDER BY would
+    funnel the corpus through a range sort per epoch, while shards
+    (scaled so corpus/shards stays executor-sized — 8 here, thousands
+    at 100 TB) bound every sort partition, exactly how training-shard
+    writers lay out data.  Mod-before-multiply keeps the key product
+    < 2^62, so the arithmetic never overflows on either engine (same
+    pattern as sample_bernoulli_hash).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), F.lit(_SHUFFLE_EPOCHS)))
+    ).withColumn(
+        "shuffle_key",
+        (
+            (F.col("doc_id") % POLY_M) * F.lit(_SHUFFLE_A)
+            + F.col("epoch").cast("bigint") * F.lit(_SHUFFLE_B)
+        )
+        % POLY_M,
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", F.col("shuffle_key") % _SHUFFLE_SHARDS)
+        .select(
+            "epoch",
+            "shard",
+            F.row_number().over(w).alias("shard_pos"),
+            "doc_id",
+            "shuffle_key",
+        )
+    )
+
+
+# Mixture interleave: stride-scheduled deterministic source mixing
+_INTERLEAVE_SCALE = 1_000_000_000  # vt = (2r-1)*SCALE div w  stays < 2^62
+
+_MIX_INTERLEAVE_ORACLE = f"""
+    WITH weights AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    keyed AS (
+        SELECT d.doc_id, d.source, w.w,
+               ((d.doc_id % {POLY_M}) * {_SHUFFLE_A}) % {POLY_M}
+                   % {_SHUFFLE_SHARDS} AS shard,
+               ((d.doc_id % {POLY_M}) * {_SHUFFLE_A}) % {POLY_M} AS okey
+        FROM documents d JOIN weights w USING (source)
+    ),
+    ranked AS (
+        SELECT doc_id, source, w, shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY shard, source ORDER BY okey, doc_id
+               ) AS BIGINT) AS r
+        FROM keyed
+    )
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard
+               ORDER BY (2 * r - 1) * {_INTERLEAVE_SCALE} // w, source, r
+           ) AS INT) AS pos,
+           doc_id, source,
+           (2 * r - 1) * {_INTERLEAVE_SCALE} // w AS vtime
+    FROM ranked
+"""
+
+
+@query("corpus_mixture_interleave", oracle=_MIX_INTERLEAVE_ORACLE, tier="P2")
+def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture interleave: orders documents so every
+    prefix of the training stream carries the sources in proportion to
+    their corpus share (stride scheduling — source s with weight w
+    emits its r-th doc at virtual time (2r-1)/(2w); merging by virtual
+    time yields the proportional round-robin trainers want, instead of
+    the per-source report corpus_mixture_weights stops at).
+
+    Exactness: virtual time is computed as (2r-1)*SCALE div w in int64
+    (operands < 2^62; both engines truncate positive integer division
+    identically), so the interleave — including every tie, broken by
+    (source, r) — is bit-identical across engines and reruns.
+
+    100 TB design: interleave positions are ranked WITHIN a
+    pseudorandom shard, not globally — shard assignment is map-only
+    key arithmetic, so each shard receives an unbiased sample of every
+    source and its local stride order matches the global mixture in
+    expectation, while every window sort stays executor-sized (shards
+    scale with the corpus; 8 here).  The weights side is a per-source
+    count — bounded by source-vocabulary cardinality, not corpus size
+    — hence broadcastable (same bounded-dim argument as
+    corpus_token_budget's per-language table).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = docs.groupBy("source").agg(F.count(F.lit(1)).alias("w"))
+    okey = ((F.col("doc_id") % POLY_M) * F.lit(_SHUFFLE_A)) % POLY_M
+    keyed = (
+        docs.join(F.broadcast(weights), "source")
+        .withColumn("okey", okey)
+        .withColumn("shard", F.col("okey") % _SHUFFLE_SHARDS)
+    )
+    r = F.row_number().over(
+        Window.partitionBy("shard", "source").orderBy("okey", "doc_id")
+    ).cast("bigint")
+    ranked = keyed.withColumn("r", r)
+    vtime = F.expr(f"(2 * r - 1) * {_INTERLEAVE_SCALE} div w")
+    return ranked.select(
+        "shard",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy(vtime, "source", "r"))
+        .alias("pos"),
+        "doc_id",
+        "source",
+        vtime.alias("vtime"),
+    )

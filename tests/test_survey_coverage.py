@@ -127,6 +127,9 @@ def test_extras_are_intentional():
         "sim_lsh_rp_pairs",
         "sim_pair_multiprobe",
         "stream_stateful_timeout",
+        # round 6
+        "corpus_epoch_shuffle",
+        "corpus_mixture_interleave",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
