@@ -1178,3 +1178,97 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_urls"),
         )
     )
+
+
+_SEG_TOKENS = 10
+
+_SEG_DEDUP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(
+               0, CAST(ceil(len(t) / {_SEG_TOKENS}.0) AS INT) - 1
+           )) AS seg_idx
+    FROM toks
+), segs AS (
+    SELECT doc_id, seg_idx,
+           array_to_string(
+               t[(seg_idx * {_SEG_TOKENS} + 1):((seg_idx + 1) * {_SEG_TOKENS})],
+               ' '
+           ) AS seg
+    FROM idx
+), ranked AS (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (
+               PARTITION BY seg ORDER BY doc_id, seg_idx
+           ) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(
+           string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+           ''
+       ) AS clean_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@query("dedup_segment_global", oracle=_SEG_DEDUP_ORACLE, tier="P2")
+def dedup_segment_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-global segment dedup: split every document into
+    fixed 10-token segments (_SEG_TOKENS), keep only the FIRST occurrence of
+    each distinct segment corpus-wide (first = lowest (doc_id,
+    seg_idx)), and reassemble each document from its surviving
+    segments.  This is the line-level dedup of Raffel et al. 2020's C4
+    pipeline (boilerplate sentences repeated across millions of pages
+    are removed everywhere but one place), adapted to the fixture's
+    space-delimited text: the segment — not the document — is the
+    dedup unit, so partially-duplicated documents are CLEANED rather
+    than dropped or kept whole, which neither exact nor near-dup
+    document dedup can express.
+
+    Plan shape, and why it holds at 100 TB: one explode bounded by
+    document length, then a single row_number window PARTITIONED BY
+    the segment text — Spark shuffles on hash(seg), so the "global"
+    first-occurrence decision is a per-key sort over only that
+    segment's occurrences (duplicate depth), never a global sort.  The
+    rebuild is one partial+final groupBy(doc_id) carrying (seg_idx,
+    seg, rn) structs — in-group sort via array_sort keeps the
+    concatenation order deterministic under any partitioning, same
+    contract as agg_string_agg.  Both shuffles are linear in corpus
+    size with no pair blowup: segment dedup is the rare near-dup-class
+    operation whose worst case is exactly two scans.  Keep-first by
+    (doc_id, seg_idx) is a total order (no tie risk).  Documents whose
+    every segment is a repeat survive as audit rows with n_kept = 0
+    and empty clean_text — dropping them is the consumer's filter, not
+    silent behavior.
+    """
+    docs = load(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / "
+                f"{_SEG_TOKENS}.0) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {_SEG_TOKENS} + 1, {_SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.expr(
+        "transform(filter(array_sort(collect_list(struct(seg_idx, seg, rn))), "
+        "s -> s.rn = 1), s -> s.seg)"
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(kept_sorted, " ").alias("clean_text"),
+    )

@@ -791,9 +791,18 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # Verify re-attach as SHUFFLE HASH joins, not sort-merge: once the
+    # first join widens each pair row with a 64-double vector, sorting
+    # that stream for an SMJ is the dominant spill of the whole plan
+    # ([MEASURED] at 100x staging, ~50M candidate pairs x ~0.5 KB sort
+    # rows exhausted 90+ GB of local scratch).  Hashing the NARROW
+    # embeddings side (linear in corpus, ~1 MB per partition slice at
+    # 640 partitions) and streaming the wide pair side through it
+    # leaves the shuffle files as the only disk cost — the same
+    # fact-stream-vs-hashed-dim shape a 100 TB verify stage needs.
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        cand.join(ea.hint("shuffle_hash"), "vec_a")
+        .join(eb.hint("shuffle_hash"), "vec_b")
         .withColumn("sim", sim_round(dot_f("emb_a", "emb_b")))
         .filter(F.col("sim") >= _LSH_TAU)
         .select("vec_a", "vec_b", "sim")

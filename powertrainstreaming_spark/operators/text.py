@@ -939,3 +939,73 @@ def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+WITH words AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), pairs AS (
+    SELECT lang,
+           unnest([substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)])
+               AS pair
+    FROM words
+    WHERE length(w) >= 2
+), counts AS (
+    SELECT lang, pair, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY lang, pair
+)
+SELECT lang, pair, freq, rank
+FROM (
+    SELECT lang, pair, freq,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY freq DESC, pair
+           ) AS INT) AS rank
+    FROM counts
+)
+WHERE rank <= {_BPE_TOPK}
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_ORACLE, tier="P2")
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, inner loop: count adjacent character
+    pairs inside whitespace words and rank the top merge candidates
+    per language — the statistic byte-pair encoding greedily merges on
+    each round (Sennrich et al. 2016).  A tokenizer trained over a
+    100 TB corpus runs exactly this query per merge step, so it has to
+    be a first-class distributed aggregate, not a driver-side pass.
+
+    Plan shape: split + double explode (words, then the in-word pair
+    list via ``transform(sequence(...))`` — all JVM-side, no Python),
+    then one partial+final count keyed on (lang, pair).  The map-side
+    combine collapses the explode fan-out before the shuffle, and the
+    shuffled key space is bounded by alphabet² per language — at
+    100 TB the shuffle carries per-partition (lang, pair) partials,
+    never per-occurrence rows.  The final top-k window partitions by
+    lang over that same bounded pair space (thousands of rows per
+    lang, not corpus-sized), so the rank stage is a no-spill single
+    stage regardless of corpus size.  Ties are impossible below the
+    cutoff boundary by construction: (freq DESC, pair ASC) is a total
+    order because pair is unique within its group.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("lang", "pair").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("lang", "pair", "freq", "rank")
+    )

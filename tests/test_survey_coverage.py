@@ -130,6 +130,8 @@ def test_extras_are_intentional():
         # round 6
         "corpus_epoch_shuffle",
         "corpus_mixture_interleave",
+        "text_bpe_pair_counts",
+        "dedup_segment_global",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
