@@ -961,3 +961,97 @@ def test_mixture_interleave_prefix_is_proportional(spark):
                 assert abs(seen.get(src, 0) - expect) <= bound + 1e-9, (
                     shard, i, src, seen.get(src, 0), expect, bound
                 )
+
+
+def test_segment_dedup_conserves_distinct_segments(spark):
+    """Global segment dedup keeps EXACTLY one copy of every distinct
+    segment: Σ n_kept over documents must equal the corpus-wide
+    distinct-segment count, and the earliest document (lowest doc_id)
+    must keep precisely its own within-doc distinct segments — both
+    independent recomputations of the keep-first rule, so a partition-
+    dependent window or a tie in the keep order would break them."""
+    from powertrainstreaming_spark.operators.dedup import (
+        _SEG_TOKENS,
+        dedup_segment_global,
+    )
+
+    out = dedup_segment_global(spark, SF).cache()
+    docs = load(spark, SF, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / "
+                f"{_SEG_TOKENS}.0) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {_SEG_TOKENS} + 1, {_SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).cache()
+
+    total_kept = out.agg(F.sum("n_kept")).first()[0]
+    n_distinct = segs.select("seg").distinct().count()
+    assert total_kept == n_distinct
+
+    first_doc = docs.agg(F.min("doc_id")).first()[0]
+    kept_first = out.filter(F.col("doc_id") == first_doc).first()
+    own_distinct = (
+        segs.filter(F.col("doc_id") == first_doc).select("seg").distinct().count()
+    )
+    assert kept_first.n_kept == own_distinct
+
+    bad = out.filter(F.col("n_kept") > F.col("n_segs")).count()
+    assert bad == 0
+    out.unpersist()
+    segs.unpersist()
+
+
+def test_bpe_pair_ranks_dense_and_counts_exact(spark):
+    """Per-language merge-candidate ranks must be dense 1..k with
+    non-increasing frequency, and the rank-1 pair's count must equal an
+    independent direct count of that pair's occurrences — pinning both
+    the window ordering and the explode construction."""
+    from powertrainstreaming_spark.operators.text import bpe_pair_counts
+
+    out = bpe_pair_counts(spark, SF).cache()
+    per_lang = (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("rank").alias("max_rank"),
+            F.min("rank").alias("min_rank"),
+        )
+        .collect()
+    )
+    for r in per_lang:
+        assert r.min_rank == 1 and r.max_rank == r.k  # dense, starts at 1
+
+    # freq non-increasing with rank inside each lang
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("rank")
+    viol = (
+        out.withColumn("prev", F.lag("freq").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("freq") > F.col("prev")))
+        .count()
+    )
+    assert viol == 0
+
+    top = out.filter((F.col("rank") == 1)).first()
+    docs = load(spark, SF, "documents").filter(F.col("lang") == top.lang)
+    direct = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .filter(F.col("pair") == top.pair)
+        .count()
+    )
+    assert direct == top.freq
+    out.unpersist()
