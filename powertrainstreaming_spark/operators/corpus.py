@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powertrainstreaming_spark.functions.exprs import POLY_M
+from powertrainstreaming_spark.functions.exprs import POLY_M, o_poly_hash, poly_hash
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -810,4 +810,117 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         vtime.alias("vtime"),
+    )
+
+
+_DSIR_DIM = 1024  # hashed-feature buckets (fixed-width, broadcastable)
+_DSIR_TARGET = "src0"  # stand-in "high-quality target" source
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), b AS (
+    SELECT doc_id, source,
+           CAST({o_poly_hash('token')} % {_DSIR_DIM} AS INT) AS bucket
+    FROM tok
+), tf AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, bucket
+), tgt AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+    FROM b WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+), raw AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+    FROM b GROUP BY bucket
+), nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_t FROM tgt),
+nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_r FROM raw),
+ratio AS (
+    SELECT raw.bucket,
+           ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+              / CAST(n_t + {_DSIR_DIM} AS DOUBLE))
+         - ln(CAST(raw.cr + 1 AS DOUBLE)
+              / CAST(n_r + {_DSIR_DIM} AS DOUBLE)) AS lr
+    FROM raw
+    LEFT JOIN tgt USING (bucket)
+    CROSS JOIN nt CROSS JOIN nr
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       round(SUM(CAST(tf.tf AS DOUBLE) * ratio.lr), 6) AS dsir_weight
+FROM tf JOIN ratio USING (bucket)
+GROUP BY tf.doc_id
+"""
+
+
+@query("corpus_dsir_weights", oracle=_DSIR_ORACLE, tier="P2")
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of its hashed-unigram features under a
+    TARGET distribution (here the src0 slice, standing in for the
+    curated high-quality corpus) versus the RAW corpus distribution.
+    Sampling proportionally to exp(weight) reshapes 100 TB of raw crawl
+    toward the target domain without training a classifier — this
+    query IS the published method's feature-extraction + scoring pass,
+    Laplace-smoothed ((count+1) / (N+B)) exactly as in the paper.
+
+    Plan shape, and the 100 TB argument: two token passes (per-doc
+    hashed-bucket tf with map-side combine; global + target bucket
+    counts), then the bucket log-ratio table — FIXED at B=1024 rows by
+    construction, so unlike a vocabulary it is legitimately
+    broadcastable at any corpus size (the hashing trick's whole point;
+    contrast text_tfidf, whose df side grows with vocabulary and must
+    not be broadcast).  The scoring join is therefore map-only: the
+    single real shuffle is the per-(doc, bucket) partial aggregation.
+    The bucket hash is the cross-engine-exact polynomial hash; counts
+    and ratios are exact-int until the final ln, whose libm path and
+    summation order differ between engines, so dsir_weight alone is
+    rounded at 6 (same contract as text_unigram_logprob's entropy).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    b = tok.select(
+        "doc_id",
+        "source",
+        (poly_hash("token") % _DSIR_DIM).cast("int").alias("bucket"),
+    )
+    tf = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    tgt = (
+        b.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    n_t = tgt.agg(F.sum("ct").cast("bigint").alias("n_t"))
+    n_r = raw.agg(F.sum("cr").cast("bigint").alias("n_r"))
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_t") + _DSIR_DIM).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("n_r") + _DSIR_DIM).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        tf.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf").cast("double") * F.col("lr")), 6).alias(
+                "dsir_weight"
+            ),
+        )
     )

@@ -137,6 +137,8 @@ def main() -> None:
         "index_inverted_postings": defs["index_inverted_postings"].fn,
         "text_entropy": defs["text_entropy"].fn,
         "events_markov_transitions": defs["events_markov_transitions"].fn,
+        "text_bpe_pair_counts": defs["text_bpe_pair_counts"].fn,
+        "dedup_segment_global": defs["dedup_segment_global"].fn,
     }
 
     spark = get_spark(app_name="pts-scale-probe")
@@ -285,18 +287,37 @@ def main_100x(only: str | None = None) -> None:
     from powertrainstreaming_spark.plans.registry import all_defs
     from powertrainstreaming_spark.session import get_spark
 
+    # Production-shaped memory: the test/bench default (8 g heap for 32
+    # cores ≈ 250 MB/core) is an order of magnitude below any real
+    # cluster's per-core execution memory (≥ 1 GB/core is the floor a
+    # 100 TB job would run with).  At 100×, verbatim-replicated
+    # embeddings make every LSH bucket 100× deeper, so the candidate
+    # join's sorts legitimately need real per-task memory —
+    # sim_lsh_rp_pairs OOMed at 250 MB/core even with the partition fix
+    # below.  48 g / 32 cores = 1.5 GB/core, the low end of production.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name=f"pts-scale-100x-{only}")
     fn = all_defs()[only].fn
 
-    def timed(sf_dir, warm):
+    def timed(sf_dir, warm, partitions):
+        # Shuffle partitions scale with the input, as any production
+        # job config (or a dynamically allocated cluster) would: a
+        # fixed 32 partitions at 100× means ~800 MB-per-task sort
+        # buffers × 32 concurrent tasks on one 8 GB heap — the
+        # sim_lsh_rp_pairs OOM of round 6's first tier run.  AQE
+        # coalesces the small stages back down, so the only effect of
+        # the higher count is bounding per-task working sets — the
+        # same reason a real 100 TB job sets spark.sql.shuffle.
+        # partitions in the thousands.
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         if warm:
             fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()
         return time.perf_counter() - t0, rows
 
-    t10, r10 = timed(_STAGE10, warm=True)
-    t100, r100 = timed(_STAGE100, warm=False)
+    t10, r10 = timed(_STAGE10, warm=True, partitions=64)
+    t100, r100 = timed(_STAGE100, warm=False, partitions=640)
     us10 = 1e6 * t10 / max(r10, 1)
     us100 = 1e6 * t100 / max(r100, 1)
     print(

@@ -1055,3 +1055,36 @@ def test_bpe_pair_ranks_dense_and_counts_exact(spark):
     )
     assert direct == top.freq
     out.unpersist()
+
+
+def test_dsir_weights_favor_target_slice(spark):
+    """DSIR sanity (Xie et al. 2023): the empirical log-likelihood
+    ratio must favor the sample the target distribution was estimated
+    FROM — per-token mean weight of src0 documents above the rest
+    (E_t[ln t/r] ≈ KL(t||r) ≥ 0 ≥ −KL(r||t) ≈ E_r[ln t/r], Laplace
+    smoothing aside).  Per-token, not per-doc: doc-length variation
+    legitimately dominates raw sums.  Also pins n_tokens against a
+    direct recount."""
+    from powertrainstreaming_spark.operators.corpus import corpus_dsir_weights
+
+    out = corpus_dsir_weights(spark, SF).cache()
+    docs = load(spark, SF, "documents")
+    j = out.join(docs.select("doc_id", "source"), "doc_id")
+    per_tok = F.avg(F.col("dsir_weight") / F.col("n_tokens"))
+    rows = {
+        r.is_target: r.m
+        for r in j.groupBy((F.col("source") == "src0").alias("is_target"))
+        .agg(per_tok.alias("m"))
+        .collect()
+    }
+    assert rows[True] > rows[False]
+
+    some = out.limit(1).first()
+    direct = (
+        docs.filter(F.col("doc_id") == some.doc_id)
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .first()
+        .n
+    )
+    assert some.n_tokens == direct
+    out.unpersist()

@@ -132,6 +132,7 @@ def test_extras_are_intentional():
         "corpus_mixture_interleave",
         "text_bpe_pair_counts",
         "dedup_segment_global",
+        "corpus_dsir_weights",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
