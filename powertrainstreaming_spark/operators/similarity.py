@@ -755,12 +755,34 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, approximation and all.
     """
     emb = load(spark, sf_dir, "embeddings")
+    # ladder input stays the TOTAL corpus size (mirrors the oracle's n)
     ncnt = emb.agg(F.count(F.lit(1)).alias("n"))
+    # Exact-duplicate collapse BEFORE banding: identical vectors share
+    # every band bucket by construction, so a group of m verbatim
+    # copies amplifies every candidate its vector participates in by
+    # m² while adding zero information — the standard near-dup
+    # pipeline runs exact dedup first for exactly this reason.
+    # [MEASURED] at 100x staging (every vector x100 verbatim) the
+    # uncollapsed plan generates ~10^4x the 1x candidate volume
+    # (~10^10 pair rows, >230 GB of shuffle — two disk-exhaustion
+    # failures on a 250 GB scratch volume); collapsed, banding work is
+    # per DISTINCT vector and only the final member expansion is
+    # proportional to the true output.  Per-group member payload is
+    # bounded by the exact-duplicate multiplicity (same per-key
+    # contract as collect_sorted; cap it if a corpus can contain a
+    # billion-fold verbatim clone).  Results are identical row-for-row:
+    # clones have identical signatures, so (u, v) share a bucket iff
+    # their representatives do, and within-group pairs always co-bucket.
+    grp = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.collect_list("vec_id").alias("members"),
+        F.count(F.lit(1)).alias("m"),
+    )
     sigs = (
-        emb.crossJoin(F.broadcast(ncnt))
+        grp.crossJoin(F.broadcast(ncnt))
         .withColumn("mod", _lsh_mod_expr(F.col("n")))
         .select(
-            "vec_id",
+            F.col("rep").alias("vec_id"),
             F.explode(
                 F.array(*_lsh_sig_structs(F.col("mod")))
             ).alias("bs"),
@@ -789,8 +811,17 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    reps = grp.select("rep", "embedding", "members")
+    ea = reps.select(
+        F.col("rep").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("members").alias("members_a"),
+    )
+    eb = reps.select(
+        F.col("rep").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("members").alias("members_b"),
+    )
     # Verify re-attach as SHUFFLE HASH joins, not sort-merge: once the
     # first join widens each pair row with a 64-double vector, sorting
     # that stream for an SMJ is the dominant spill of the whole plan
@@ -800,10 +831,38 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 640 partitions) and streaming the wide pair side through it
     # leaves the shuffle files as the only disk cost — the same
     # fact-stream-vs-hashed-dim shape a 100 TB verify stage needs.
-    return (
+    cross = (
         cand.join(ea.hint("shuffle_hash"), "vec_a")
         .join(eb.hint("shuffle_hash"), "vec_b")
         .withColumn("sim", sim_round(dot_f("emb_a", "emb_b")))
         .filter(F.col("sim") >= _LSH_TAU)
-        .select("vec_a", "vec_b", "sim")
+        # expand the surviving REP pair to every member combination;
+        # each unordered member pair appears exactly once, re-oriented
+        # by least/greatest to honor the vec_a < vec_b output contract
+        .select(
+            F.explode("members_a").alias("ma"),
+            F.col("members_b").alias("mbs"),
+            "sim",
+        )
+        .select(F.col("ma"), F.explode("mbs").alias("mb"), "sim")
+        .select(
+            F.least("ma", "mb").alias("vec_a"),
+            F.greatest("ma", "mb").alias("vec_b"),
+            "sim",
+        )
     )
+    # within-group pairs: verbatim clones co-bucket in every band, so
+    # the uncollapsed plan always emitted all C(m, 2) of them (their
+    # sim is the self dot); emit them directly, no banding needed
+    within = (
+        grp.filter(F.col("m") >= 2)
+        .withColumn("sim", sim_round(dot_f("embedding", "embedding")))
+        .filter(F.col("sim") >= _LSH_TAU)
+        .select(F.explode("members").alias("ma"), "members", "sim")
+        .select("ma", F.explode("members").alias("mb"), "sim")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("vec_a"), F.col("mb").alias("vec_b"), "sim"
+        )
+    )
+    return cross.unionAll(within)
