@@ -1088,3 +1088,81 @@ def test_dsir_weights_favor_target_slice(spark):
     )
     assert some.n_tokens == direct
     out.unpersist()
+
+
+def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
+    """The duplicate-collapse rewrite bands once per DISTINCT vector and
+    expands representative pairs back to members; the fixture has no
+    verbatim-duplicate embeddings, so this stages one (every sf0.001
+    vector duplicated 3x with fresh ids) and checks the collapsed plan
+    against first principles: (a) within-group pairs are all C(3,2)
+    combos per original vector whose self-dot >= tau; (b) the pair set
+    equals the UNCOLLAPSED construction's output — every base-pair of
+    the single-copy run expands to the full 3x3 member grid, each pair
+    ordered vec_a < vec_b, with the same sim; (c) no pair is emitted
+    twice."""
+    import shutil
+
+    from powertrainstreaming_spark.operators.similarity import (
+        _LSH_TAU,
+        sim_lsh_rp_pairs,
+    )
+
+    src = "/root/testdata/sf0.001"
+    stage = str(tmp_path_factory.mktemp("rp_dupes"))
+    emb = load(spark, src, "embeddings")
+    n = emb.count()
+    # (b)'s exact-expansion claim needs the 3x corpus to stay below the
+    # first ladder rung: crossing it would double the bucket modulus,
+    # legitimately changing the candidate set vs the 1x run.
+    from powertrainstreaming_spark.operators.similarity import _LSH_LADDER
+
+    assert 3 * n <= _LSH_LADDER[0], (
+        "fixture grew past the first LSH rung; re-derive this test's "
+        "expected cross set at the staged corpus's own modulus"
+    )
+    dup = emb
+    for k in (1, 2):
+        dup = dup.unionAll(
+            emb.select(
+                (F.col("vec_id") + k * n).alias("vec_id"), "embedding", "label"
+            )
+        )
+    dup.coalesce(1).write.mode("overwrite").parquet(f"{stage}/embeddings.parquet")
+    shutil.copy(f"{src}/documents.parquet", f"{stage}/documents.parquet")
+
+    pairs = {(r.vec_a, r.vec_b): r.sim for r in sim_lsh_rp_pairs(spark, stage).collect()}
+    assert len(pairs) == sim_lsh_rp_pairs(spark, stage).count()  # no dup rows
+
+    # (a) within-group: ids {v, v+n, v+2n} pairwise, iff self-dot >= tau
+    selfdot = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", sim_round(dot_f("embedding", "embedding")).alias("s")
+        ).collect()
+    }
+    for v, s in selfdot.items():
+        group = sorted([v, v + n, v + 2 * n])
+        import itertools
+
+        for x, y in itertools.combinations(group, 2):
+            if s >= _LSH_TAU:
+                assert pairs.get((x, y)) == s, (x, y)
+            else:
+                assert (x, y) not in pairs
+
+    # (b) cross-group: single-copy pairs expand to the full 3x3 grid
+    base = {
+        (r.vec_a, r.vec_b): r.sim for r in sim_lsh_rp_pairs(spark, src).collect()
+    }
+    expected_cross = {}
+    for (u, v), s in base.items():
+        for du in (0, n, 2 * n):
+            for dv in (0, n, 2 * n):
+                x, y = u + du, v + dv
+                expected_cross[(min(x, y), max(x, y))] = s
+    for key, s in expected_cross.items():
+        assert pairs.get(key) == s, key
+    # and nothing beyond within + cross
+    n_within = sum(3 for v, s in selfdot.items() if s >= _LSH_TAU)
+    assert len(pairs) == n_within + len(expected_cross)
