@@ -203,6 +203,7 @@ def main() -> None:
 
 
 _TIER100_PROBES = [
+    "dedup_segment_global",
     "dedup_near_minhash",
     "dedup_near_exact",
     "dedup_incremental_minhash",
