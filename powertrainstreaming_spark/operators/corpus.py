@@ -865,9 +865,10 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     query IS the published method's feature-extraction + scoring pass,
     Laplace-smoothed ((count+1) / (N+B)) exactly as in the paper.
 
-    Plan shape, and the 100 TB argument: two token passes (per-doc
-    hashed-bucket tf with map-side combine; global + target bucket
-    counts), then the bucket log-ratio table — FIXED at B=1024 rows by
+    Plan shape, and the 100 TB argument: ONE token pass (the per-doc
+    hashed-bucket tf with map-side combine; global and target bucket
+    counts are re-aggregated from that compact output through a reused
+    exchange), then the bucket log-ratio table — FIXED at B=1024 rows by
     construction, so unlike a vocabulary it is legitimately
     broadcastable at any corpus size (the hashing trick's whole point;
     contrast text_tfidf, whose df side grows with vocabulary and must
@@ -887,32 +888,44 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (poly_hash("token") % _DSIR_DIM).cast("int").alias("bucket"),
     )
-    tf = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    tgt = (
-        b.filter(F.col("source") == _DSIR_TARGET)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE tokenize+hash pass: source is functionally dependent on
+    # doc_id, so carrying it through the per-(doc, bucket) aggregate is
+    # free, and both corpus-level bucket counts derive from the compact
+    # tf output (|docs|·|buckets| rows, not token-count rows).  The
+    # three consumers of tf share one identical exchange, which Spark's
+    # exchange-reuse collapses to a single physical execution — the
+    # corpus is scanned, split, and polynomial-hashed exactly once.
+    tf = b.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    n_t = tgt.agg(F.sum("ct").cast("bigint").alias("n_t"))
-    n_r = raw.agg(F.sum("cr").cast("bigint").alias("n_r"))
-    ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_r))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                    / (F.col("n_t") + _DSIR_DIM).cast("double")
-                )
-                - F.log(
-                    (F.col("cr") + 1).cast("double")
-                    / (F.col("n_r") + _DSIR_DIM).cast("double")
-                )
-            ).alias("lr"),
+    # Both corpus distributions in ONE conditional aggregation over the
+    # compact tf output (≤ |docs|·B rows): per bucket, cr = all tokens,
+    # ct = target-slice tokens — no second corpus pass, no left join
+    # (an absent-from-target bucket naturally sums ct to 0).
+    stats = tf.groupBy("bucket").agg(
+        F.sum("tf").cast("bigint").alias("cr"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("tf")).otherwise(0)
         )
+        .cast("bigint")
+        .alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("ct").cast("bigint").alias("n_t"),
+        F.sum("cr").cast("bigint").alias("n_r"),
+    )
+    ratio = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("n_t") + _DSIR_DIM).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("n_r") + _DSIR_DIM).cast("double")
+            )
+        ).alias("lr"),
     )
     return (
         tf.join(F.broadcast(ratio), "bucket")

@@ -35,6 +35,9 @@ def scratch_dir(prefix: str) -> str:
     running probe/sweep process's — the leak assertion must not trip
     on a sibling process's staging work.
     """
+    # trailing "_" keeps the "_p<pid>_<suffix>" stamp parseable by the
+    # leak gate's anchored regex (tests/conftest.py)
+    assert prefix.endswith("_"), f"scratch prefix must end with '_': {prefix!r}"
     path = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     _LIVE.add(path)
     return path

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -215,8 +216,11 @@ _TIER100_PROBES = [
     "sim_lsh_rp_pairs",
 ]
 
-_STAGE10 = "/tmp/pts_tier_stage10"
-_STAGE100 = "/tmp/pts_tier_stage100"
+# Cache paths live under the SAME tempdir stage_10x writes to, so the
+# publish below is an atomic same-filesystem rename (a hardcoded /tmp
+# would raise EXDEV whenever $TMPDIR points at another mount).
+_STAGE10 = os.path.join(tempfile.gettempdir(), "pts_tier_stage10")
+_STAGE100 = os.path.join(tempfile.gettempdir(), "pts_tier_stage100")
 
 
 def _stage_into(path: str, copies: int) -> None:

@@ -56,7 +56,10 @@ def _no_scratch_leak():
         for p in after - before
         if not p.startswith(os.path.join(tmp, "pts_tier_stage"))
         and (
-            (m := re.search(r"p(\d+)_[^/]*$", p)) is None
+            # anchored to scratch_dir's exact "<...>_p<pid>_<8-char
+            # mkdtemp suffix>" shape so a random suffix that happens to
+            # contain p<digits>_ cannot masquerade as a sibling's stamp
+            (m := re.search(r"_p(\d+)_[A-Za-z0-9_]{8}$", p)) is None
             or int(m.group(1)) == os.getpid()
         )
     }

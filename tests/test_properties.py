@@ -1112,6 +1112,9 @@ def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
     stage = str(tmp_path_factory.mktemp("rp_dupes"))
     emb = load(spark, src, "embeddings")
     n = emb.count()
+    # offset clone ids by max+1, not count: sparse/shifted fixture ids
+    # must never collide with a clone id
+    base = emb.agg(F.max("vec_id")).first()[0] + 1
     # (b)'s exact-expansion claim needs the 3x corpus to stay below the
     # first ladder rung: crossing it would double the bucket modulus,
     # legitimately changing the candidate set vs the 1x run.
@@ -1125,7 +1128,7 @@ def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
     for k in (1, 2):
         dup = dup.unionAll(
             emb.select(
-                (F.col("vec_id") + k * n).alias("vec_id"), "embedding", "label"
+                (F.col("vec_id") + k * base).alias("vec_id"), "embedding", "label"
             )
         )
     dup.coalesce(1).write.mode("overwrite").parquet(f"{stage}/embeddings.parquet")
@@ -1142,7 +1145,7 @@ def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
         ).collect()
     }
     for v, s in selfdot.items():
-        group = sorted([v, v + n, v + 2 * n])
+        group = sorted([v, v + base, v + 2 * base])
         import itertools
 
         for x, y in itertools.combinations(group, 2):
@@ -1152,13 +1155,13 @@ def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
                 assert (x, y) not in pairs
 
     # (b) cross-group: single-copy pairs expand to the full 3x3 grid
-    base = {
+    single = {
         (r.vec_a, r.vec_b): r.sim for r in sim_lsh_rp_pairs(spark, src).collect()
     }
     expected_cross = {}
-    for (u, v), s in base.items():
-        for du in (0, n, 2 * n):
-            for dv in (0, n, 2 * n):
+    for (u, v), s in single.items():
+        for du in (0, base, 2 * base):
+            for dv in (0, base, 2 * base):
                 x, y = u + du, v + dv
                 expected_cross[(min(x, y), max(x, y))] = s
     for key, s in expected_cross.items():
