@@ -140,6 +140,7 @@ def main() -> None:
         "events_markov_transitions": defs["events_markov_transitions"].fn,
         "text_bpe_pair_counts": defs["text_bpe_pair_counts"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
+        "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
     }
 
     spark = get_spark(app_name="pts-scale-probe")
