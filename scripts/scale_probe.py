@@ -206,6 +206,8 @@ def main() -> None:
 
 _TIER100_PROBES = [
     "dedup_segment_global",
+    "text_bpe_pair_counts",
+    "corpus_dsir_weights",
     "dedup_near_minhash",
     "dedup_near_exact",
     "dedup_incremental_minhash",
