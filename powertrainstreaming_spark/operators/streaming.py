@@ -678,3 +678,83 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     return run_bounded(joined, "append")
+
+
+def _stage_documents_halves(sf_dir: str) -> str:
+    """Two doc_id-ordered row-halves of the documents fixture with
+    strictly increasing mtimes — a 2-micro-batch corpus-ingest replay
+    (the file source orders by modification time, forced here)."""
+    import pyarrow.parquet as pq
+
+    stage = scratch_dir(prefix="pts_docstream_")
+    t = pq.read_table(table_path(sf_dir, "documents"))
+    half = t.num_rows // 2
+    base = 1_600_000_000
+    for k, (lo, hi) in enumerate([(0, half), (half, t.num_rows)]):
+        path = os.path.join(stage, f"part-{k:04d}.parquet")
+        pq.write_table(t.slice(lo, hi - lo), path)
+        os.utime(path, (base + 10 * k, base + 10 * k))
+    return stage
+
+
+_SEG_DISTINCT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(
+               0, CAST(ceil(len(t) / 10.0) AS INT) - 1
+           )) AS seg_idx
+    FROM toks
+)
+SELECT DISTINCT
+       array_to_string(
+           t[(seg_idx * 10 + 1):((seg_idx + 1) * 10)], ' '
+       ) AS seg
+FROM idx
+"""
+
+
+@query("stream_segment_dedup", oracle=_SEG_DISTINCT_ORACLE, tier="P2")
+def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus segment dedup: documents arrive as a file
+    stream (staged here as two doc_id-ordered micro-batches), each is
+    exploded into its fixed 10-token segments, and dropDuplicates
+    emits every DISTINCT segment exactly once across all batches — the
+    ingest-time half of dedup_segment_global, for pipelines that dedup
+    a crawl as it lands instead of in a nightly batch.
+
+    The emitted row is the segment alone, which makes the output SET
+    deterministic under any partitioning and batch split (which doc a
+    shared segment was first seen in is racy WITHIN a batch; the
+    segment itself is not) — so this streaming operator carries a full
+    SQL oracle, hash-checked like a batch op.  State design: the dedup
+    state is one entry per distinct segment, the irreducible size of
+    any global dedup index — unlike stream_dedup's time-bounded
+    watermark state this legitimately grows with corpus content, so a
+    100 TB deployment shards it by hash(seg) across executors (which
+    dropDuplicates' internal hash partitioning already does) and
+    snapshots it via checkpointing; when the dedup horizon is
+    time-bounded, prefer dropDuplicatesWithinWatermark as stream_dedup
+    does.  Batch-split invariance (N = 1 vs 4) is property-tested.
+    """
+    from powertrainstreaming_spark.operators.dedup import _SEG_TOKENS
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    stage = _stage_documents_halves(sf_dir)
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    segs = sdf.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / "
+                f"{_SEG_TOKENS}.0) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {_SEG_TOKENS} + 1, {_SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg")
+    )
+    return run_bounded(segs.dropDuplicates(["seg"]), "append")

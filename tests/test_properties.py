@@ -1169,3 +1169,55 @@ def test_lsh_rp_pairs_with_verbatim_duplicate_vectors(spark, tmp_path_factory):
     # and nothing beyond within + cross
     n_within = sum(3 for v, s in selfdot.items() if s >= _LSH_TAU)
     assert len(pairs) == n_within + len(expected_cross)
+
+
+def test_stream_segment_dedup_batch_split_invariant(spark):
+    """The streaming segment-dedup output SET must not depend on how
+    the corpus is split into micro-batches: replaying the documents in
+    1 and 4 file-slices must emit the same distinct segments as the
+    registered 2-slice staging."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from powertrainstreaming_spark.operators.dedup import _SEG_TOKENS
+    from powertrainstreaming_spark.operators.streaming import (
+        stream_segment_dedup,
+    )
+    from powertrainstreaming_spark.scratch import scratch_dir
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL, table_path
+    from powertrainstreaming_spark.streaming.harness import run_bounded
+
+    def replay(n_files):
+        stage = scratch_dir(prefix=f"pts_docsplit{n_files}_")
+        t = pq.read_table(table_path(SF, "documents"))
+        base = 1_600_000_000
+        for k in range(n_files):
+            lo = k * t.num_rows // n_files
+            hi = (k + 1) * t.num_rows // n_files
+            path = os.path.join(stage, f"part-{k:04d}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), path)
+            os.utime(path, (base + 10 * k, base + 10 * k))
+        sdf = (
+            spark.readStream.schema(TABLE_DDL["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        segs = sdf.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                    f"/ {_SEG_TOKENS}.0) as int) - 1), "
+                    f"i -> array_join(slice(split(text, ' '), "
+                    f"i * {_SEG_TOKENS} + 1, {_SEG_TOKENS}), ' '))"
+                )
+            ).alias("seg")
+        )
+        return {
+            r.seg
+            for r in run_bounded(segs.dropDuplicates(["seg"]), "append").collect()
+        }
+
+    registered = {r.seg for r in stream_segment_dedup(spark, SF).collect()}
+    assert replay(1) == registered
+    assert replay(4) == registered

@@ -133,6 +133,7 @@ def test_extras_are_intentional():
         "text_bpe_pair_counts",
         "dedup_segment_global",
         "corpus_dsir_weights",
+        "stream_segment_dedup",
         "corpus_decontam_ngram",
         "split_train_holdout",
         "pack_concat_chunks",
