@@ -595,6 +595,10 @@ _LSH_BITS = 6  # base bucket bits per band (64 buckets at fixture scale)
 _LSH_MAX_BITS = 20  # up to 14 extra planes gated in by corpus size
 _LSH_DIM = 64
 _LSH_TAU = 0.3
+# Hard cap on exact-duplicate multiplicity the collapse will carry in
+# one members array (~80 MB of int64 vec_ids at the cap) — see the
+# assert_true guard in sim_lsh_rp_pairs.
+_COLLAPSE_MAX_MULT = 10_000_000
 # Bucket-count ladder, same discipline as _ADAPT_LADDER: the bucket
 # count per band doubles each time the corpus crosses a size threshold,
 # so band-bucket size stays bounded as data grows (a fixed 64-bucket
@@ -777,6 +781,31 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("rep"),
         F.collect_list("vec_id").alias("members"),
         F.count(F.lit(1)).alias("m"),
+    )
+    # The members payload is ONE array row per distinct vector, linear
+    # in its exact-duplicate multiplicity m — fine at the measured
+    # 100x/1000x clone depths, but a corpus with a ~10^7-fold verbatim
+    # clone would put an ~80 MB array in a single aggregation row and
+    # stress that task's memory before anything else in the plan.
+    # Fail LOUDLY there instead of degrading: assert_true evaluates
+    # JVM-side per group (returns NULL on success, so the filter keeps
+    # every row and adds nothing to the result); being a filter
+    # predicate it cannot be pruned away like a dropped column would
+    # be.  Beyond the cap the right plan is a two-level collapse
+    # (collect per (embedding, salt), then merge) — not needed until a
+    # real corpus shows such a group.
+    grp = grp.filter(
+        F.assert_true(
+            F.col("m") <= F.lit(_COLLAPSE_MAX_MULT),
+            F.concat(
+                F.lit(
+                    "rp_pairs duplicate-collapse cap exceeded: one "
+                    "embedding has multiplicity "
+                ),
+                F.col("m").cast("string"),
+                F.lit(f" > {_COLLAPSE_MAX_MULT}"),
+            ),
+        ).isNull()
     )
     sigs = (
         grp.crossJoin(F.broadcast(ncnt))

@@ -697,19 +697,23 @@ def _stage_documents_halves(sf_dir: str) -> str:
     return stage
 
 
-_SEG_DISTINCT_ORACLE = """
+from powertrainstreaming_spark.operators.dedup import _SEG_TOKENS
+
+# Parameterized on the same _SEG_TOKENS the Spark plan uses so the
+# segment width can never desync between plan and oracle.
+_SEG_DISTINCT_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), idx AS (
     SELECT doc_id, t,
            unnest(generate_series(
-               0, CAST(ceil(len(t) / 10.0) AS INT) - 1
+               0, CAST(ceil(len(t) / {_SEG_TOKENS}.0) AS INT) - 1
            )) AS seg_idx
     FROM toks
 )
 SELECT DISTINCT
        array_to_string(
-           t[(seg_idx * 10 + 1):((seg_idx + 1) * 10)], ' '
+           t[(seg_idx * {_SEG_TOKENS} + 1):((seg_idx + 1) * {_SEG_TOKENS})], ' '
        ) AS seg
 FROM idx
 """
@@ -738,7 +742,6 @@ def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-bounded, prefer dropDuplicatesWithinWatermark as stream_dedup
     does.  Batch-split invariance (N = 1 vs 4) is property-tested.
     """
-    from powertrainstreaming_spark.operators.dedup import _SEG_TOKENS
     from powertrainstreaming_spark.sources.loaders import TABLE_DDL
 
     stage = _stage_documents_halves(sf_dir)

@@ -12,35 +12,104 @@ pytest + sweep + probe runs (round-5 verdict, "What's wrong" #4).
 `scratch_dir(prefix)` keeps mkdtemp's semantics (unique, private,
 immediately usable path under $TMPDIR) but registers the path in a
 module-level set that an `atexit` hook purges when the Python process
-exits — after every lazy Spark read has necessarily completed.  Crash
-paths (SIGKILL, OOM) can still leak, which is why tests/conftest.py
-additionally asserts the suite leaves /tmp net-clean of `pts_*` dirs.
+exits — after every lazy Spark read has necessarily completed.
+
+Crash paths (SIGKILL, OOM) skip atexit, so every dir also embeds its
+owner PID in the name and `_reap_dead_owner_dirs()` runs at import: any
+`pts_*_p<pid>_*` dir whose owner process no longer exists is removed by
+the NEXT process that imports this package.  A leak therefore survives
+at most until the next pytest/sweep/probe/bench invocation on the same
+machine (round-6 verdict, "What's wrong" #1).  The intentionally
+persistent tier-stage caches (`pts_tier_stage10/100`, fixed names, no
+PID stamp) never match the stamp pattern and are never reaped.
 """
 
 from __future__ import annotations
 
 import atexit
+import glob
 import os
+import re
 import shutil
 import tempfile
 
 _LIVE: set[str] = set()
+
+# "<prefix>_p<pid>_<mkdtemp suffix>".  The suffix length is mkdtemp's
+# choice (8 chars on current CPython; {6,12} tolerates a stdlib change
+# without silently un-anchoring the pattern — ADVICE r6).
+_STAMP_RE = re.compile(r"_p(\d+)_[A-Za-z0-9_]{6,12}$")
+
+
+def live_dirs() -> frozenset[str]:
+    """Public snapshot of the dirs awaiting the atexit purge.
+
+    Tests (tests/conftest.py's leak gate) use this instead of reaching
+    into the private `_LIVE` set.
+    """
+    return frozenset(_LIVE)
+
+
+def stamp_match(path: str) -> re.Match | None:
+    """Match `path` against the `_p<pid>_<suffix>` owner stamp.
+
+    Shared with the test-suite leak gate so the gate can never drift
+    from the pattern scratch_dir actually writes.
+    """
+    return _STAMP_RE.search(path)
 
 
 def scratch_dir(prefix: str) -> str:
     """mkdtemp that is reaped at interpreter exit instead of leaking.
 
     The owning PID is embedded in the name (``<prefix>p<pid>_``) so
-    tests can tell this process's scratch dirs from a concurrently
-    running probe/sweep process's — the leak assertion must not trip
-    on a sibling process's staging work.
+    (a) tests can tell this process's scratch dirs from a concurrently
+    running probe/sweep process's, and (b) a later process can reap
+    dirs whose owner died without reaching atexit.
     """
     # trailing "_" keeps the "_p<pid>_<suffix>" stamp parseable by the
-    # leak gate's anchored regex (tests/conftest.py)
+    # anchored _STAMP_RE
     assert prefix.endswith("_"), f"scratch prefix must end with '_': {prefix!r}"
     path = tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}_")
     _LIVE.add(path)
     return path
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        # exists, owned by someone else — alive as far as we care
+        return True
+    return True
+
+
+def _reap_dead_owner_dirs(tmp: str | None = None) -> list[str]:
+    """Remove pts_* dirs whose embedded owner PID is no longer running.
+
+    Runs once at import so crash-path residue (SIGKILLed probe runs,
+    OOM-killed JVrunners) is cleaned by the next process to touch the
+    package instead of waiting for a human.  Only dirs carrying the
+    exact `_p<pid>_<suffix>` stamp are candidates; the live check is
+    os.kill(pid, 0).  Returns the reaped paths (for the unit test).
+    """
+    tmp = tmp or tempfile.gettempdir()
+    reaped: list[str] = []
+    for path in glob.glob(os.path.join(tmp, "pts_*")):
+        m = _STAMP_RE.search(path)
+        if m is None:
+            continue  # unstamped (e.g. pts_tier_stage caches) — keep
+        pid = int(m.group(1))
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        reaped.append(path)
+    return reaped
+
+
+_reap_dead_owner_dirs()
 
 
 @atexit.register

@@ -39,7 +39,6 @@ def _no_scratch_leak():
     here as an untracked dir and fails the suite.
     """
     import glob
-    import re
     import tempfile
 
     from powertrainstreaming_spark import scratch
@@ -50,20 +49,19 @@ def _no_scratch_leak():
     after = set(glob.glob(os.path.join(tmp, "pts_*")))
     # Ignore dirs stamped with ANOTHER process's pid (a concurrently
     # running probe/sweep staging its own scratch) and the
-    # intentionally persistent tier-stage caches.
+    # intentionally persistent tier-stage caches.  The stamp pattern is
+    # scratch.stamp_match — the same regex scratch_dir writes against,
+    # so gate and implementation cannot drift (ADVICE r6).
     own_or_unmarked = {
         p
         for p in after - before
         if not p.startswith(os.path.join(tmp, "pts_tier_stage"))
         and (
-            # anchored to scratch_dir's exact "<...>_p<pid>_<8-char
-            # mkdtemp suffix>" shape so a random suffix that happens to
-            # contain p<digits>_ cannot masquerade as a sibling's stamp
-            (m := re.search(r"_p(\d+)_[A-Za-z0-9_]{8}$", p)) is None
+            (m := scratch.stamp_match(p)) is None
             or int(m.group(1)) == os.getpid()
         )
     }
-    untracked = sorted(own_or_unmarked - scratch._LIVE)
+    untracked = sorted(own_or_unmarked - scratch.live_dirs())
     assert not untracked, (
         f"{len(untracked)} pts_* scratch dirs were created outside "
         f"scratch.scratch_dir and would leak past process exit: "

@@ -928,16 +928,25 @@ def test_mixture_interleave_prefix_is_proportional(spark):
     """Stride scheduling's defining property: every prefix of a
     shard's order carries each source near its proportional share.
 
-    Error decomposition for the bound: each source's own odd-numerator
-    stride contributes ≤ 1/2; summing S per-source roundings shifts the
-    prefix index by ≤ S/2, which scaled by this source's share adds
-    ≤ (S/2)·share; and vtime quantization (integer div by w) ties up
-    to ~S items at one virtual instant, within which source order is
-    alphabetical — a tied run adds ≤ S·share more, and these roundings interact across
-    thresholds.  Bound used: 1/2 + 2·S·share + 1/2 slack.  [MEASURED]
-    worst observed error: 1.56 at sf0.001/sf0.01, 2.63 at sf0.1 —
-    vs bounds 3.0 (a by-source-sorted "interleave" would blow this up
-    as soon as shards outgrow source cardinality)."""
+    Error decomposition for the bound's SHAPE (1 + c·S·share for S
+    sources): each source's own odd-numerator stride contributes ≤ 1/2;
+    summing S per-source roundings shifts the prefix index by ≤ S/2,
+    which scaled by this source's share adds ≤ (S/2)·share; and vtime
+    quantization (integer div by w) ties up to ~S items at one virtual
+    instant, within which source order is alphabetical — a tied run
+    adds ≤ S·share more, and these roundings interact across
+    thresholds.  The constant c = 2 is EMPIRICAL, not derived: it was
+    calibrated against this repo's fixtures at sf0.001/sf0.01 (worst
+    observed error 1.56) and sf0.1 (worst 2.63, vs the resulting bound
+    3.0) — a genuinely different source-share distribution could
+    exceed it without a real scheduling regression, in which case
+    re-measure and restate the margin here rather than assuming a bug
+    (classic stride scheduling's worst-case absolute prefix error is
+    O(S) per source — Waldspurger & Weihl 1995 — so growth with source
+    COUNT is expected; growth with corpus SIZE at fixed sources is
+    not, and THAT is the regression this test exists to catch: a
+    by-source-sorted "interleave" blows the bound up as soon as shards
+    outgrow source cardinality)."""
     from powertrainstreaming_spark.operators.corpus import corpus_mixture_interleave
 
     rows = corpus_mixture_interleave(spark, SF).collect()
@@ -957,6 +966,9 @@ def test_mixture_interleave_prefix_is_proportional(spark):
             seen[s] = seen.get(s, 0) + 1
             for src, w in totals.items():
                 expect = i * w / n
+                # c = 2 margin is empirical (calibrated at sf ≤ 0.1;
+                # see docstring) — restate on new fixtures, don't
+                # assume regression
                 bound = 0.5 + 2.0 * n_src * (w / n) + 0.5
                 assert abs(seen.get(src, 0) - expect) <= bound + 1e-9, (
                     shard, i, src, seen.get(src, 0), expect, bound
