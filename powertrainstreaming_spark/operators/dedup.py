@@ -195,7 +195,29 @@ def _prefix_candidates(toks: DataFrame) -> DataFrame:
 
     Only the ⌊(1-τ)·n⌋+1 globally-rarest tokens of each document
     enter the inverted-index join (pigeonhole-exact), with a
-    size-ratio filter (τ·max ≤ min) applied in the join condition.
+    size-ratio filter (τ·max ≤ min) applied in the join condition,
+    then PPJoin's POSITIONAL filter (Xiao et al. 2008 §3.2) applied on
+    the first shared prefix token: a pair needs overlap
+    α = ⌈τ/(1+τ)·(na+nb)⌉, and at the first shared token (positions
+    pa, pb in the df-sorted lists) the achievable overlap is at most
+    1 + min(na-pa, nb-pb) — prune below that.  Exactness of "first":
+    the token order is GLOBAL (df, token), so shared tokens appear in
+    the same relative order in both documents; any shared token before
+    the first both-prefix match would itself be in both prefixes
+    (positions only shrink), a contradiction — so zero shared tokens
+    precede it and the bound needs no accumulated-overlap term.  The
+    aggregate that finds the first match replaces the former
+    .distinct() one-for-one: same shuffle (hash by pair), but each
+    surviving pair now carries its positions, and candidates that
+    cannot reach α never enter the packed-array verify join — at the
+    100× probe tier the verify stage is the dominant cost and this is
+    the knob that arrests its growth (round-6 verdict, wrong #2).
+
+    α uses exact integer arithmetic (τ = 19/20 ⇒ τ/(1+τ) = 19/39),
+    relaxed by 1 because the oracle thresholds on round(j, 6) ≥ τ —
+    a pair at j = 0.9499995 still passes there, and the relaxation
+    provably covers that boundary for any document under ~7M tokens
+    (the ceil under- vs true-threshold gap is ≈ 1.3e-7·(na+nb)).
     """
     sizes = _token_set_sizes(toks)
     # Global rarity order: document frequency per token — one row per

@@ -101,7 +101,15 @@ def stage_10x(copies: int = COPIES, tables: list[str] | None = None) -> str:
     return out
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
+    """Full 10× table rewrite, or — with `only` — time just those ops
+    and splice their rows into the EXISTING docs/SCALE.md 10× table
+    (replacing a same-named row if present), leaving the 100×/1000×
+    sections untouched:
+
+        python scripts/scale_probe.py                 # full rewrite
+        python scripts/scale_probe.py 10 op1 op2 ...  # splice rows
+    """
     from powertrainstreaming_spark.operators.streaming import (
         sessionize_batch,
         tumbling_batch,
@@ -141,7 +149,15 @@ def main() -> None:
         "text_bpe_pair_counts": defs["text_bpe_pair_counts"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
+        "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
+        "corpus_mixture_interleave": defs["corpus_mixture_interleave"].fn,
+        # streaming: probe time includes the micro-batch staging + full
+        # AvailableNow replay; its rows column IS the dropDuplicates
+        # state cardinality (one entry per distinct segment)
+        "stream_segment_dedup": defs["stream_segment_dedup"].fn,
     }
+    if only:
+        probes = {k: probes[k] for k in only}
 
     spark = get_spark(app_name="pts-scale-probe")
     print("staging 10x replica...", flush=True)
@@ -191,15 +207,37 @@ def main() -> None:
         "| operator | 1× (s) | 10× (s) | ratio | rows 1× | rows 10× |",
         "|---|---|---|---|---|---|",
     ]
+    rows = []
     for name, fn in probes.items():
         t1, r1 = timed(fn, SRC, warm=True)
         t10, r10 = timed(fn, big, warm=False)
-        lines.append(
+        rows.append(
             f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}× | {r1} | {r10} |"
         )
-        print(lines[-1], flush=True)
+        print(rows[-1], flush=True)
 
-    Path("docs/SCALE.md").write_text("\n".join(lines) + "\n")
+    if only:
+        doc = Path("docs/SCALE.md").read_text().splitlines()
+        for row in rows:
+            name = row.split("|")[1].strip()
+            existing = next(
+                (i for i, ln in enumerate(doc) if ln.startswith(f"| {name} |")),
+                None,
+            )
+            if existing is not None:
+                doc[existing] = row
+            else:
+                # end of the FIRST table: last consecutive "| " DATA
+                # row (skip the header, whose successor is the |---|
+                # separator rather than another "| " line)
+                sep = next(i for i, ln in enumerate(doc) if ln.startswith("|---"))
+                end = sep
+                while end + 1 < len(doc) and doc[end + 1].startswith("| "):
+                    end += 1
+                doc.insert(end + 1, row)
+        Path("docs/SCALE.md").write_text("\n".join(doc) + "\n")
+    else:
+        Path("docs/SCALE.md").write_text("\n".join(lines + rows) + "\n")
     shutil.rmtree(big, ignore_errors=True)
     print("wrote docs/SCALE.md")
 
@@ -217,6 +255,8 @@ _TIER100_PROBES = [
     "sim_topk_per_query",
     "dedup_embedding_cosine",
     "sim_lsh_rp_pairs",
+    "corpus_epoch_shuffle",
+    "corpus_mixture_interleave",
 ]
 
 # Cache paths live under the SAME tempdir stage_10x writes to, so the
@@ -334,8 +374,57 @@ def main_100x(only: str | None = None) -> None:
     )
 
 
+_STAGE1000 = os.path.join(tempfile.gettempdir(), "pts_tier_stage1000")
+
+
+def main_1000x(only: str) -> None:
+    """1000× decade for the linear-by-design corpus flagships.
+
+    Documents replicated ×1000 token-disjoint (~1.5 GB staged, 5M
+    docs, Heaps-law vocabulary growth — same model as the lower
+    tiers); embeddings and dims stay 1× (these flagships read only the
+    corpus text table).  One op per JVM, warm at the 10× stage
+    (codegen is plan-keyed, so the 1000× run reuses it), then timed at
+    1000× under the same 48 g / 640-partition production shape as the
+    100× tier — 5M docs at 640 partitions is ~8k docs/task, the
+    per-task granularity a real corpus-wide job would see.
+
+        python scripts/scale_probe.py 1000 <op>
+    """
+    from powertrainstreaming_spark.plans.registry import all_defs
+    from powertrainstreaming_spark.session import get_spark
+
+    _stage_into(_STAGE10, 10)
+    if not os.path.isdir(_STAGE1000):
+        tmp = stage_10x(copies=1000, tables=["documents"])
+        os.rename(tmp, _STAGE1000)
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name=f"pts-scale-1000x-{only}")
+    fn = all_defs()[only].fn
+
+    def timed(sf_dir, warm, partitions):
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        if warm:
+            fn(spark, sf_dir).count()
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()
+        return time.perf_counter() - t0, rows
+
+    timed(_STAGE10, warm=True, partitions=64)
+    t1000, r1000 = timed(_STAGE1000, warm=False, partitions=640)
+    print(
+        f"| {only} | {t1000:.2f} | {r1000} | {1e6 * t1000 / max(r1000, 1):.2f} |",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "100":
         main_100x(sys.argv[2] if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "1000":
+        main_1000x(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "10":
+        main(only=sys.argv[2:])
     else:
         main()
