@@ -101,10 +101,6 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_set_sizes(toks: DataFrame) -> DataFrame:
-    return toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-
 def _pair_jaccard(toks: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact token-set Jaccard for the given (doc_a, doc_b) pairs.
 
@@ -183,51 +179,142 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-token postings (every document shares 'the' with every
     other); the prefix join's posting lists are the df-ordered TAIL of
     the vocabulary, which stays short regardless of corpus size.
+
+    OPERATING ENVELOPE [MEASURED round 7, docs/SCALE.md]: per-row cost
+    grows ~3×/decade (5.4 µs/row at 10× → 16.4 at 100×) because the
+    exact verify must intersect full token arrays for every surviving
+    candidate — the irreducible price of being the ground truth.  Use
+    this operator for calibration/audit slices (≤ ~1/10 of the corpus
+    minhash handles); ``dedup_near_minhash`` — whose µs/row FALLS
+    across the same decade — is the production member of the family.
+    Three candidate-side refinements were probed and rejected on
+    measurement; see ``_tau_pairs``.
     """
     toks = _doc_tokens(spark, sf_dir)
-    return _pair_jaccard(toks, _prefix_candidates(toks)).filter(
-        F.col("jaccard") >= _JAC_TAU
-    )
+    return _tau_pairs(toks)
 
 
-def _prefix_candidates(toks: DataFrame) -> DataFrame:
-    """PPJoin prefix-filtered candidate pairs for Jaccard ≥ _JAC_TAU.
+# Same cap + assert pattern as similarity.py's rp_pairs collapse: fail
+# loudly if one token set has a verbatim multiplicity that would put an
+# unbounded members array in a single aggregation row.
+_JAC_COLLAPSE_MAX_MULT = 10_000_000
 
-    Only the ⌊(1-τ)·n⌋+1 globally-rarest tokens of each document
-    enter the inverted-index join (pigeonhole-exact), with a
-    size-ratio filter (τ·max ≤ min) applied in the join condition,
-    then PPJoin's POSITIONAL filter (Xiao et al. 2008 §3.2) applied on
-    the first shared prefix token: a pair needs overlap
-    α = ⌈τ/(1+τ)·(na+nb)⌉, and at the first shared token (positions
-    pa, pb in the df-sorted lists) the achievable overlap is at most
-    1 + min(na-pa, nb-pb) — prune below that.  Exactness of "first":
-    the token order is GLOBAL (df, token), so shared tokens appear in
-    the same relative order in both documents; any shared token before
-    the first both-prefix match would itself be in both prefixes
-    (positions only shrink), a contradiction — so zero shared tokens
-    precede it and the bound needs no accumulated-overlap term.  The
-    aggregate that finds the first match replaces the former
-    .distinct() one-for-one: same shuffle (hash by pair), but each
-    surviving pair now carries its positions, and candidates that
-    cannot reach α never enter the packed-array verify join — at the
-    100× probe tier the verify stage is the dominant cost and this is
-    the knob that arrests its growth (round-6 verdict, wrong #2).
 
-    α uses exact integer arithmetic (τ = 19/20 ⇒ τ/(1+τ) = 19/39),
-    relaxed by 1 because the oracle thresholds on round(j, 6) ≥ τ —
-    a pair at j = 0.9499995 still passes there, and the relaxation
-    provably covers that boundary for any document under ~7M tokens
-    (the ceil under- vs true-threshold gap is ≈ 1.3e-7·(na+nb)).
+def _tau_pairs(toks: DataFrame) -> DataFrame:
+    """All (doc_a < doc_b, jaccard) pairs with exact token-set Jaccard
+    ≥ τ — the shared exact-near-dup primitive (dedup_near_exact,
+    keep-longest, CC clustering, PageRank, the clean pipeline).
+    Three exact filters in series, cheapest first:
+
+    1. EXACT-DUPLICATE COLLAPSE (the CLAUDE.md house rule, the
+    rp_pairs pattern): documents are grouped by their exact token-code
+    SET (sorted packed-int64 array); everything downstream runs once
+    per DISTINCT set, and member pairs are expanded at the end —
+    within-group pairs (identical sets, J = 1 by definition) directly,
+    cross-group pairs from the verified representative pair,
+    re-oriented with least/greatest to honor the doc_a < doc_b
+    contract.  Correctness: J(a, b) depends only on the two token
+    sets, so every member pair inherits its representative pair's
+    exact Jaccard.  [MEASURED round 7, 100× tier] 500,000 docs
+    collapse to 393,500 distinct sets (×1.27), cutting candidate
+    pairs ~×1.6 quadratically; on a clone-heavier corpus the win
+    grows as m² while this plan stays linear in the true output (the
+    >230 GB rp_pairs lesson).
+
+    2. PPJoin PREFIX JOIN: only the ⌊(1-τ)·n⌋+1 globally-rarest codes
+    per set enter the inverted-index join (pigeonhole: a J ≥ τ pair
+    must share a token inside both prefixes), with the size-ratio
+    filter (τ·max ≤ min) in the join condition.  Both filters are
+    exact — identical result to the naive all-sharing-pairs join the
+    oracles compute.
+
+    3. PACKED-ARRAY VERIFY on the distinct candidates: the collapse's
+    grouped `codes` arrays ARE the packed token sets _pair_jaccard
+    would re-collect, re-attached by rep id as SHUFFLE-HASH joins (an
+    SMJ would sort pair rows widened by the token arrays — the
+    rp_pairs spill lesson).
+
+    Token identity travels as the same double-poly-hash int64 codes as
+    _pair_jaccard (collision analysis there); the prefix join ranks
+    codes by document frequency — any GLOBAL total order is exact for
+    prefix filtering, so ranking coded tokens instead of strings
+    changes only which ties win, not the recall guarantee.
+
+    Two further PPJoin-family refinements were BUILT, MEASURED at the
+    10×/100× probe tiers, and REJECTED (round 7) — recorded so they
+    are not re-attempted:
+    - POSITIONAL filter (Xiao et al. 2008 §3.2): pruned exactly 0 of
+      213.65M candidates while costing +21% candidate-generation wall.
+      At τ = 0.95 the prefix is ~⌊0.05·n⌋+1 tokens and a candidate's
+      first shared token sits at prefix position 1-2, where the
+      achievable-overlap bound ≈ n comfortably exceeds α ≈ 0.974·n;
+      positional filtering is a low-τ (long-prefix) tool.
+    - BUCKET-COUNT SKETCH pre-verify (B per-bucket code counts on
+      prefix rows; ub = Σ_b min as an exact |A∩B| upper bound): kills
+      99.8% of candidates before the distinct, but every variant lost
+      end-to-end — array sketch + zip_with/aggregate is an interpreted
+      HigherOrderFunction on every raw join row (71.4 s / 501.3 s vs
+      31.3 s / 259.8 s without); 32 scalar least() columns kept the
+      filter codegen'd but the widened prefix join + extra full-token
+      aggregate still ran past 2× the no-sketch wall.  The distinct +
+      array-verify of false candidates is simply cheaper here than any
+      per-pair pre-verify payload; revisit only if a corpus shows
+      candidate:true ratios far above the measured ~11:1 … ~580:1.
     """
-    sizes = _token_set_sizes(toks)
-    # Global rarity order: document frequency per token — one row per
+    code = (
+        poly_hash("token") * F.lit(2_147_483_648)
+        + poly_hash("token", POLY_B2, POLY_M2)
+    ).alias("code")
+    sets_ = (
+        toks.select("doc_id", code)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("code")).alias("codes"))
+    )
+    grp = (
+        sets_.groupBy("codes")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("m") <= F.lit(_JAC_COLLAPSE_MAX_MULT),
+                F.concat(
+                    F.lit(
+                        "jaccard duplicate-collapse cap exceeded: one "
+                        "token set has multiplicity "
+                    ),
+                    F.col("m").cast("string"),
+                    F.lit(f" > {_JAC_COLLAPSE_MAX_MULT}"),
+                ),
+            ).isNull()
+        )
+        # Materialize the collapse ONCE (PageRank's localCheckpoint
+        # pattern): grp feeds the prefix join (3 self-derived reads),
+        # both verify sides, and the within-group expansion — without
+        # a checkpoint the tokenize + two shuffled aggregations above
+        # re-execute per consumer ([MEASURED round 7] 32.1 s → the
+        # checkpointed run at the 10× tier; ~6 redundant upstream
+        # executions eliminated).
+        .localCheckpoint()
+    )
+    rep_toks = grp.select(
+        F.col("rep").alias("doc_id"), F.explode("codes").alias("token")
+    )
+    # Global rarity order: document frequency per code — one row per
     # vocabulary word.  NOT hint-broadcast: vocabulary grows with the
     # corpus (Heaps' law never fully saturates on web text — typos,
     # URLs, numbers), and an explicit hint overrides the size check;
     # AQE broadcasts it while it fits and shuffles on token past that.
-    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_ = rep_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # n as a plain aggregate + equi-join, NOT count() over the rank
+    # window: the unordered-frame window buffers every doc's rows a
+    # second time through the same exchange and [MEASURED round 7]
+    # cost ~+35% end-to-end at the 100× tier (353.1 s vs 259.8 s).
+    sizes = rep_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
-        toks.join(df_, "token")
+        rep_toks.join(df_, "token")
         .join(sizes, "doc_id")
         .withColumn(
             "pos",
@@ -248,7 +335,7 @@ def _prefix_candidates(toks: DataFrame) -> DataFrame:
         F.col("token").alias("token_b"),
         F.col("n").alias("nb"),
     )
-    return (
+    cands = (
         pa.join(
             pb,
             (F.col("token") == F.col("token_b"))
@@ -260,6 +347,55 @@ def _prefix_candidates(toks: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    ga = grp.select(
+        F.col("rep").alias("doc_a"),
+        F.col("codes").alias("codes_a"),
+        F.col("members").alias("members_a"),
+    )
+    gb = grp.select(
+        F.col("rep").alias("doc_b"),
+        F.col("codes").alias("codes_b"),
+        F.col("members").alias("members_b"),
+    )
+    i = F.size(F.array_intersect("codes_a", "codes_b"))
+    cross = (
+        cands.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                i.cast("double")
+                / (F.size("codes_a") + F.size("codes_b") - i),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= _JAC_TAU)
+        .select(
+            F.explode("members_a").alias("ma"),
+            F.col("members_b").alias("mbs"),
+            "jaccard",
+        )
+        .select("ma", F.explode("mbs").alias("mb"), "jaccard")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # identical sets: i = na = nb, so round(i/(na+nb-i), 6) = 1.0 —
+    # emitted as the literal the oracle's arithmetic produces.
+    within = (
+        grp.filter(F.col("m") >= 2)
+        .select(F.explode("members").alias("ma"), "members")
+        .select("ma", F.explode("members").alias("mb"))
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 _MINHASH_K = 32  # signature length
@@ -537,11 +673,8 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
     )
-    pairs = _pair_jaccard(toks, _prefix_candidates(toks))
     near_drop = (
-        pairs.filter(F.col("jaccard") >= _JAC_TAU).select(
-            F.col("doc_b").alias("drop_id")
-        )
+        _tau_pairs(toks).select(F.col("doc_b").alias("drop_id"))
     ).distinct()
 
     return exact_kept.join(
@@ -845,11 +978,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies.
     """
     toks = _doc_tokens(spark, sf_dir)
-    pairs = (
-        _pair_jaccard(toks, _prefix_candidates(toks))
-        .filter(F.col("jaccard") >= _JAC_TAU)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _tau_pairs(toks).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
@@ -1107,8 +1236,8 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     first; keep-longest keeps the most complete version of a
     boilerplate-trimmed / truncated duplicate family).
 
-    Pair generation reuses the PPJoin prefix-filtered candidates
-    (never all-pairs; _prefix_candidates); the keep policy is a pure
+    Pair generation reuses the collapsed PPJoin primitive (never
+    all-pairs; _tau_pairs); the keep policy is a pure
     per-pair expression (one loser per pair, deduped), and the removal
     is a hash anti-join on doc_id — so swapping keep policy costs
     NOTHING in plan shape vs dedup-by-id: same shuffles, same anti-
@@ -1119,9 +1248,7 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = _doc_tokens(spark, sf_dir)
-    pairs = _pair_jaccard(toks, _prefix_candidates(toks)).filter(
-        F.col("jaccard") >= _JAC_TAU
-    )
+    pairs = _tau_pairs(toks)
     meta = docs.select("doc_id", "n_chars")
     ma = meta.select(
         F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("chars_a")

@@ -20,10 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.operators.dedup import (
-    _JAC_TAU,
     _doc_tokens,
-    _pair_jaccard,
-    _prefix_candidates,
+    _tau_pairs,
 )
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
@@ -68,11 +66,7 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id bigint, pagerank double, degree bigint"
         )
     toks = _doc_tokens(spark, sf_dir)
-    pairs = (
-        _pair_jaccard(toks, _prefix_candidates(toks))
-        .filter(F.col("jaccard") >= _JAC_TAU)
-        .select("doc_a", "doc_b")
-    )
+    pairs = _tau_pairs(toks).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
