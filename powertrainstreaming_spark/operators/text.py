@@ -1009,3 +1009,194 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BPE_TOPK)
         .select("lang", "pair", "freq", "rank")
     )
+
+
+_BPE_MERGE_STEPS = 8
+
+
+def _bpe_merge_oracle(n: int) -> str:
+    """Chained-CTE DuckDB replay of ``n`` greedy BPE merge rounds.
+
+    Each step s re-derives pair counts from the step-(s-1) vocabulary,
+    picks the per-lang argmax under the same (freq DESC, lhs, rhs)
+    total order the Spark plan uses, and applies the merge via the
+    identical cell-string replace — so the two engines walk the same
+    greedy path symbol for symbol.
+    """
+    parts = [
+        """
+WITH v0 AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wfreq,
+           regexp_replace(w, '(.)', ' \\1 ', 'g') AS repr
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 2
+    GROUP BY lang, w
+)"""
+    ]
+    for s in range(1, n + 1):
+        parts.append(
+            f""", c{s} AS (
+    SELECT lang, syms[i] AS lhs, syms[i + 1] AS rhs,
+           CAST(SUM(wfreq) AS BIGINT) AS freq
+    FROM (SELECT lang, wfreq, syms,
+                 unnest(generate_series(1, len(syms) - 1)) AS i
+          FROM (SELECT lang, wfreq,
+                       string_split(trim(repr), '  ') AS syms
+                FROM v{s - 1}))
+    GROUP BY 1, 2, 3
+), b{s} AS (
+    SELECT lang, lhs, rhs, freq FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY freq DESC, lhs, rhs) AS rn
+        FROM c{s}
+    ) WHERE rn = 1
+), v{s} AS (
+    SELECT v.lang, v.w, v.wfreq,
+           CASE WHEN b.lhs IS NOT NULL THEN
+               replace(v.repr, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                               ' ' || b.lhs || b.rhs || ' ')
+           ELSE v.repr END AS repr
+    FROM v{s - 1} v LEFT JOIN b{s} b ON v.lang = b.lang
+)"""
+        )
+    finals = [
+        f"SELECT lang, CAST({s} AS INT) AS step, lhs, rhs,"
+        f" lhs || rhs AS merged, freq FROM b{s}"
+        for s in range(1, n + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query(
+    "text_bpe_merge_steps",
+    oracle=_bpe_merge_oracle(_BPE_MERGE_STEPS),
+    tier="P2",
+)
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the full greedy merge loop (Sennrich
+    et al. 2016), 8 rounds per language, returning the learned merge
+    table (lang, step, lhs, rhs, merged, freq).  This turns the
+    round-6 single-step statistic (``text_bpe_pair_counts``) into the
+    actual trainer a 100 TB corpus needs: each round counts adjacent
+    symbol pairs over the word-frequency vocabulary, merges the most
+    frequent pair everywhere it occurs, and repeats on the re-segmented
+    vocabulary.
+
+    Scale design: the corpus is touched ONCE — the initial
+    (lang, word) → frequency aggregate — and every merge round then
+    runs over that vocabulary table, which is orders of magnitude
+    smaller than the corpus (Heaps' law) and localCheckpoint-ed per
+    round so round s never recomputes rounds 1..s-1 (the PageRank
+    pattern, graph.py).  The per-round state handed to the next round
+    is ONE row per language — broadcast by construction, the same
+    bounded-state argument as the DSIR ratio table (corpus.py).  Round
+    count is a training hyperparameter, not a function of corpus size.
+
+    Greedy-merge mechanics: each word's segmentation is a CELL STRING
+    — every symbol wrapped as ``' sym '`` and concatenated, so
+    adjacent symbols are separated by exactly two spaces.  Merging
+    pair (L, R) is then the literal replace of ``' L  R '`` with
+    ``' LR '``: each match consumes both full cells, so matches can
+    never straddle a symbol boundary (a match's second character is
+    L's first, which is non-space, while the character after any
+    cell-trailing space is always a space), and left-to-right
+    non-overlapping replace — the semantics of both engines'
+    ``replace`` — is exactly BPE's greedy scan ('aaaa' under (a,a)
+    becomes 'aa aa', not 'aa a a').  Ties in the argmax are broken by
+    (lhs, rhs), a total order since pairs are unique per group.
+
+    Why not collect the argmax and splice literals into the next
+    round's plan?  Keeping the winner as a 1-row-per-lang broadcast
+    join leaves the whole trainer declarative — Catalyst sees every
+    round, and the driver never holds corpus-derived strings.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+        .withColumn("repr", F.regexp_replace(F.col("w"), "(.)", " $1 "))
+    )
+    cur = vocab.localCheckpoint()
+    bests: list[DataFrame] = []
+    w_best = Window.partitionBy("lang").orderBy(
+        F.desc("freq"), F.asc("lhs"), F.asc("rhs")
+    )
+    for s in range(1, _BPE_MERGE_STEPS + 1):
+        pairs = (
+            cur.withColumn("syms", F.split(F.trim(F.col("repr")), "  "))
+            .filter(F.size("syms") >= 2)  # sequence(1,0) would DESCEND
+            .select(
+                "lang",
+                "wfreq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS lhs, "
+                        "element_at(syms, i + 1) AS rhs))"
+                    )
+                ).alias("pr"),
+            )
+            .select("lang", F.col("pr.lhs").alias("lhs"), F.col("pr.rhs").alias("rhs"), "wfreq")
+        )
+        counts = pairs.groupBy("lang", "lhs", "rhs").agg(
+            F.sum("wfreq").alias("freq")
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("lang", "lhs", "rhs", "freq")
+        )
+        bests.append(
+            best.select(
+                "lang",
+                F.lit(s).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "freq",
+            )
+        )
+        # One row per language — bounded by language cardinality, the
+        # same broadcast argument as corpus.py's mixture-weight table.
+        merge_tbl = F.broadcast(
+            best.select(
+                "lang",
+                F.col("lhs").alias("m_lhs"),
+                F.col("rhs").alias("m_rhs"),
+            )
+        )
+        cur = (
+            cur.join(merge_tbl, "lang", "left")
+            .withColumn(
+                "repr",
+                F.when(
+                    F.col("m_lhs").isNotNull(),
+                    F.replace(
+                        F.col("repr"),
+                        F.concat(
+                            F.lit(" "),
+                            F.col("m_lhs"),
+                            F.lit("  "),
+                            F.col("m_rhs"),
+                            F.lit(" "),
+                        ),
+                        F.concat(
+                            F.lit(" "),
+                            F.col("m_lhs"),
+                            F.col("m_rhs"),
+                            F.lit(" "),
+                        ),
+                    ),
+                ).otherwise(F.col("repr")),
+            )
+            .drop("m_lhs", "m_rhs")
+            .localCheckpoint()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

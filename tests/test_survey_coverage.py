@@ -171,6 +171,8 @@ def test_extras_are_intentional():
         "text_fingerprint",
         "text_quality_score",
         "win_range_interval",
+        # round 7
+        "text_bpe_merge_steps",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
