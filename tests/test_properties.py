@@ -1233,3 +1233,64 @@ def test_stream_segment_dedup_batch_split_invariant(spark):
     registered = {r.seg for r in stream_segment_dedup(spark, SF).collect()}
     assert replay(1) == registered
     assert replay(4) == registered
+
+
+def test_jaccard_pairs_with_verbatim_duplicate_documents(spark, tmp_path_factory):
+    """round 7's _tau_pairs collapses exact-duplicate token SETS before
+    the PPJoin prefix join and expands member pairs afterwards; the
+    fixture's clone families are modest, so this stages an adversarial
+    one (every sf0.001 document duplicated 3x with fresh ids) and
+    checks the collapsed plan against first principles: the staged
+    output must EQUAL (a) all C(3,2) within-clone pairs per original
+    doc at jaccard 1.0, plus (b) every single-copy pair expanded to
+    the full 3x3 member grid with the same jaccard, each pair ordered
+    doc_a < doc_b — and (c) contain no duplicate rows.  Fixture docs
+    that are already exact duplicates of each other merge into one
+    6-member staged group, whose C(6,2) pairs are exactly the union of
+    (a) and (b) for that family, so set equality still holds."""
+    import shutil
+
+    from powertrainstreaming_spark.operators.dedup import dedup_near_exact
+
+    src = "/root/testdata/sf0.001"
+    stage = str(tmp_path_factory.mktemp("jac_dupes"))
+    docs = load(spark, src, "documents")
+    base = docs.agg(F.max("doc_id")).first()[0] + 1
+    dup = docs
+    for k in (1, 2):
+        dup = dup.unionAll(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * base))
+        )
+    dup.coalesce(1).write.mode("overwrite").parquet(
+        f"{stage}/documents.parquet"
+    )
+    shutil.copy(f"{src}/embeddings.parquet", f"{stage}/embeddings.parquet")
+
+    staged = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_near_exact(spark, stage).collect()
+    }
+    assert len(staged) == dedup_near_exact(spark, stage).count()  # (c)
+
+    single = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_near_exact(spark, src).collect()
+    }
+    assert single, "fixture should have >= tau pairs"
+    import itertools
+
+    expected = {}
+    # (a) within-clone: identical token sets, jaccard exactly 1.0
+    for r in docs.select("doc_id").collect():
+        v = r.doc_id
+        for x, y in itertools.combinations(
+            sorted([v, v + base, v + 2 * base]), 2
+        ):
+            expected[(x, y)] = 1.0
+    # (b) cross: each single-copy pair expands to the 3x3 member grid
+    for (u, v), j in single.items():
+        for du in (0, base, 2 * base):
+            for dv in (0, base, 2 * base):
+                a, b = sorted([u + du, v + dv])
+                expected[(a, b)] = j
+    assert staged == expected
