@@ -1014,8 +1014,10 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGE_STEPS = 8
 
 
-def _bpe_merge_oracle(n: int) -> str:
-    """Chained-CTE DuckDB replay of ``n`` greedy BPE merge rounds.
+def _bpe_train_ctes(n: int) -> str:
+    """Chained-CTE DuckDB replay of ``n`` greedy BPE merge rounds —
+    the shared WITH-clause body for the trainer and the encoder
+    oracles.
 
     Each step s re-derives pair counts from the step-(s-1) vocabulary,
     picks the per-lang argmax under the same (freq DESC, lhs, rhs)
@@ -1059,12 +1061,16 @@ WITH v0 AS (
     FROM v{s - 1} v LEFT JOIN b{s} b ON v.lang = b.lang
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_merge_oracle(n: int) -> str:
     finals = [
         f"SELECT lang, CAST({s} AS INT) AS step, lhs, rhs,"
         f" lhs || rhs AS merged, freq FROM b{s}"
         for s in range(1, n + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    return _bpe_train_ctes(n) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 @query(
@@ -1110,6 +1116,19 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     join leaves the whole trainer declarative — Catalyst sees every
     round, and the driver never holds corpus-derived strings.
     """
+    _, bests = _bpe_train(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the greedy merge loop; return (final segmented vocabulary,
+    per-step merge rows) — shared by the trainer (merge table) and the
+    encoder (symbol stats) queries."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -1196,7 +1215,63 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("m_lhs", "m_rhs")
             .localCheckpoint()
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+    return cur, bests
+
+
+_BPE_ENCODE_TOPK = 30
+
+
+@query(
+    "text_bpe_encode_stats",
+    oracle=_bpe_train_ctes(_BPE_MERGE_STEPS)
+    + f"""
+SELECT lang, sym, freq, rank FROM (
+    SELECT lang, sym, freq,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY freq DESC, sym) AS INT) AS rank
+    FROM (SELECT lang, syms[i] AS sym, CAST(SUM(wfreq) AS BIGINT) AS freq
+          FROM (SELECT lang, wfreq, syms,
+                       unnest(generate_series(1, len(syms))) AS i
+                FROM (SELECT lang, wfreq,
+                             string_split(trim(repr), '  ') AS syms
+                      FROM v{_BPE_MERGE_STEPS}))
+          GROUP BY 1, 2)
+)
+WHERE rank <= {_BPE_ENCODE_TOPK}
+""",
+    tier="P2",
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — apply the trainer's learned merges back to the
+    corpus and rank the resulting symbol distribution: top-30 symbols
+    per language with their corpus frequencies (word-frequency
+    weighted).  Train + encode is the full tokenizer lifecycle: this
+    is the query that tells you what the vocabulary you just learned
+    actually does to the corpus (compression, which merges dominate,
+    how much stays at the character floor).
+
+    Same scale shape as the trainer (one corpus pass, then
+    vocabulary-sized work): the final segmentation already exists as
+    the trainer's step-8 vocabulary — encoding is ONE explode of the
+    segmented reprs weighted by word frequency, a bounded
+    (lang, symbol) aggregate, and a per-lang top-k window over that
+    bounded key space (the text_bpe_pair_counts rank argument).
+    Single-character words never merge and pass through at the
+    character floor; like the trainer, words shorter than 2 chars are
+    out of the vocabulary domain.  The oracle replays the identical
+    8-round greedy path (shared CTE chain), then the identical
+    explode + rank.
+    """
+    cur, _ = _bpe_train(spark, sf_dir)
+    syms = (
+        cur.withColumn("syms", F.split(F.trim(F.col("repr")), "  "))
+        .select("lang", "wfreq", F.explode("syms").alias("sym"))
+        .groupBy("lang", "sym")
+        .agg(F.sum("wfreq").alias("freq"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("sym"))
+    return (
+        syms.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= _BPE_ENCODE_TOPK)
+        .select("lang", "sym", "freq", "rank")
+    )

@@ -173,6 +173,7 @@ def test_extras_are_intentional():
         "win_range_interval",
         # round 7
         "text_bpe_merge_steps",
+        "text_bpe_encode_stats",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
