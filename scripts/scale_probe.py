@@ -147,6 +147,8 @@ def main(only: list[str] | None = None) -> None:
         "text_entropy": defs["text_entropy"].fn,
         "events_markov_transitions": defs["events_markov_transitions"].fn,
         "text_bpe_pair_counts": defs["text_bpe_pair_counts"].fn,
+        "text_bpe_merge_steps": defs["text_bpe_merge_steps"].fn,
+        "text_bpe_encode_stats": defs["text_bpe_encode_stats"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
@@ -245,6 +247,8 @@ def main(only: list[str] | None = None) -> None:
 _TIER100_PROBES = [
     "dedup_segment_global",
     "text_bpe_pair_counts",
+    "text_bpe_merge_steps",
+    "text_bpe_encode_stats",
     "corpus_dsir_weights",
     "dedup_near_minhash",
     "dedup_near_exact",
