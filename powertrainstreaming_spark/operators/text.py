@@ -1275,3 +1275,61 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BPE_ENCODE_TOPK)
         .select("lang", "sym", "freq", "rank")
     )
+
+
+@query(
+    "text_bpe_fertility",
+    oracle=_bpe_train_ctes(_BPE_MERGE_STEPS)
+    + f"""
+SELECT lang,
+       CAST(SUM(wfreq) AS BIGINT) AS words,
+       CAST(SUM(wfreq * length(w)) AS BIGINT) AS chars,
+       CAST(SUM(wfreq * len(string_split(trim(repr), '  '))) AS BIGINT)
+           AS symbols,
+       round(CAST(SUM(wfreq * len(string_split(trim(repr), '  '))) AS DOUBLE)
+             / SUM(wfreq), 6) AS fertility,
+       round(CAST(SUM(wfreq * length(w)) AS DOUBLE)
+             / SUM(wfreq * len(string_split(trim(repr), '  '))), 6)
+           AS chars_per_symbol
+FROM v{_BPE_MERGE_STEPS}
+GROUP BY lang
+""",
+    tier="P2",
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary READOUT — per-language fertility (symbols per
+    word) and compression (chars per symbol) after the trainer's 8
+    merges: the numbers a tokenizer team actually steers on.  Fertility
+    starts at chars-per-word (character floor, zero merges) and falls
+    toward 1.0 as merges absorb frequent words whole; a 100 TB token
+    budget is words × fertility, so this single bounded-output query
+    converts the trainer into a budget planner (cf. corpus_token_budget,
+    which counts whitespace words — this is the learned-vocab version).
+
+    Same scale shape as the trainer it reuses (_bpe_train): one corpus
+    pass, vocabulary-sized rounds, then ONE aggregate over the final
+    segmented vocabulary — output is one row per language.  The two
+    ratios are float division of exact int64 sums computed identically
+    in both engines from the same greedy path, rounded @6 (the
+    summation-order-divergence boundary does not arise: numerators and
+    denominators are exact integers).
+    """
+    cur, _ = _bpe_train(spark, sf_dir)
+    segmented = cur.withColumn(
+        "n_syms", F.size(F.split(F.trim(F.col("repr")), "  "))
+    )
+    return segmented.groupBy("lang").agg(
+        F.sum("wfreq").alias("words"),
+        F.sum(F.col("wfreq") * F.length("w")).alias("chars"),
+        F.sum(F.col("wfreq") * F.col("n_syms")).alias("symbols"),
+        F.round(
+            F.sum(F.col("wfreq") * F.col("n_syms")).cast("double")
+            / F.sum("wfreq"),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("wfreq") * F.length("w")).cast("double")
+            / F.sum(F.col("wfreq") * F.col("n_syms")),
+            6,
+        ).alias("chars_per_symbol"),
+    )

@@ -174,6 +174,7 @@ def test_extras_are_intentional():
         # round 7
         "text_bpe_merge_steps",
         "text_bpe_encode_stats",
+        "text_bpe_fertility",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
