@@ -576,3 +576,100 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lift.alias("lift"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics — the measurement behind every salting
+# decision (cf. join_skew_salted, which applies the remedy this
+# operator justifies)
+
+_SKEW_TOPN = 20
+_SKEW_SALT_RATIO = 2.0  # ratio-to-mean above which a key earns a salt flag
+
+
+@query(
+    "diag_key_skew",
+    oracle=f"""
+    WITH per_key AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per_key
+    ),
+    ranked AS (
+        SELECT key, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT)
+                   AS rank,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key) AS BIGINT)
+                   AS cume_cnt
+        FROM per_key
+    )
+    SELECT rank, key, cnt,
+           CAST(cnt AS DOUBLE) / total AS share,
+           CAST(cnt * n_keys AS DOUBLE) / total AS ratio_to_mean,
+           CAST(cume_cnt AS DOUBLE) / total AS cume_share,
+           CAST(cnt * n_keys AS DOUBLE) / total > {_SKEW_SALT_RATIO}
+               AS needs_salt
+    FROM ranked, tot
+    WHERE rank <= {_SKEW_TOPN}
+    """,
+    tier="P2",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for lineitem.l_partkey: the top-20
+    heaviest keys with count, corpus share, ratio-to-mean (the skew
+    factor), cumulative share, and a needs_salt verdict (> 2x the mean
+    key) — the diagnostic a pipeline runs BEFORE choosing between a
+    plain shuffle join, AQE skew handling, and explicit salting
+    (join_skew_salted implements the remedy; this measures whether it
+    is warranted and with what fanout).
+
+    Scale shape: ONE partial/final count aggregate over the fact
+    (map-side combine makes the shuffle |distinct keys|-sized, not
+    row-sized), a 1-row grand total broadcast back, and a global top-N
+    over the per-key table.  The ranking window is over distinct KEYS,
+    not rows — for a genuinely 100 TB fact the per-key table is still
+    shuffle-sized, so the same plan would swap the row_number for
+    topk_global's partial-top-N shape; at any scale the output is a
+    fixed {_SKEW_TOPN} rows.  All ratios are identical-operand
+    divisions of exact int64 counts — unrounded (both engines divide
+    the same two integers).  Ties broken by key for a deterministic
+    ranking; the boolean verdict compares identically-computed doubles
+    to the same literal.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    ranked = (
+        per_key.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "cume_cnt",
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("bigint"),
+        )
+        .filter(F.col("rank") <= _SKEW_TOPN)
+    )
+    # exact int64 product cast ONCE, mirroring the oracle's cast order
+    # (the product stays < 2^53 so the double is exact either way)
+    ratio = (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total")
+    return ranked.join(F.broadcast(totals)).select(
+        "rank",
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        ratio.alias("ratio_to_mean"),
+        (F.col("cume_cnt").cast("double") / F.col("total")).alias(
+            "cume_share"
+        ),
+        (ratio > F.lit(_SKEW_SALT_RATIO)).alias("needs_salt"),
+    )

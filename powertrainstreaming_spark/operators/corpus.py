@@ -256,6 +256,122 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Packing-strategy comparison: padding waste vs boundary contamination
+
+
+@query(
+    "pack_strategy_compare",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    off AS (
+        SELECT lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT)) AS tok_offset
+        FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(greatest(CAST(0 AS BIGINT), {_PACK_BUDGET} - n_tok))
+                AS BIGINT) AS pad_tokens,
+           CAST(SUM(greatest(CAST(0 AS BIGINT), n_tok - {_PACK_BUDGET}))
+                AS BIGINT) AS trunc_tokens,
+           CAST(SUM(least(n_tok, CAST({_PACK_BUDGET} AS BIGINT))) AS DOUBLE)
+               / (COUNT(*) * {_PACK_BUDGET}) AS util_single,
+           CAST(SUM(CASE WHEN CAST(FLOOR(CAST(tok_offset + n_tok - 1 AS DOUBLE)
+                                         / {_PACK_BUDGET}.0) AS BIGINT)
+                              > CAST(FLOOR(CAST(tok_offset AS DOUBLE)
+                                           / {_PACK_BUDGET}.0) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS straddle_docs,
+           CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / {_PACK_BUDGET}.0) AS BIGINT)
+               AS concat_windows,
+           CAST(SUM(n_tok) AS DOUBLE)
+               / (CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / {_PACK_BUDGET}.0)
+                       AS BIGINT) * {_PACK_BUDGET}) AS util_concat
+    FROM off
+    GROUP BY lang
+    """,
+    tier="P2",
+)
+def pack_strategy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy readout — the per-language numbers a trainer
+    team weighs when choosing between the two standard schemes:
+
+    - SINGLE (one doc per context window, BERT-style pad/truncate to
+      the 512-token budget): zero cross-document attention
+      contamination, but short docs pay ``pad_tokens`` of dead compute
+      and long docs lose ``trunc_tokens`` of data; ``util_single`` is
+      the fraction of window slots doing useful work.
+    - CONCAT (concat-and-chunk, pack_concat_chunks' scheme): ~100%
+      utilization (only the final partial window pads —
+      ``util_concat``), but ``straddle_docs`` documents cross a window
+      boundary, the attention-contamination cost.
+
+    One shuffle on ``lang`` (the same exclusive-prefix cumsum window
+    as pack_concat_chunks, whose shard-seam scale note applies
+    unchanged), then a partial/final aggregate to one row per
+    language.  All sums are exact int64; both utilizations are
+    divisions of identically-computed exact operands (the int64 sums
+    and products are far below 2^53, and the floor/ceil window ids use
+    the shared-formula pattern) — unrounded.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = toks.withColumn(
+        "tok_offset",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint")),
+    )
+    b = F.lit(_PACK_BUDGET).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    first = F.floor(
+        F.col("tok_offset").cast("double") / float(_PACK_BUDGET)
+    ).cast("bigint")
+    last = F.floor(
+        (F.col("tok_offset") + F.col("n_tok") - 1).cast("double")
+        / float(_PACK_BUDGET)
+    ).cast("bigint")
+    concat_windows = F.ceil(
+        F.sum("n_tok").cast("double") / float(_PACK_BUDGET)
+    ).cast("bigint")
+    return off.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.greatest(zero, b - F.col("n_tok")))
+        .cast("bigint")
+        .alias("pad_tokens"),
+        F.sum(F.greatest(zero, F.col("n_tok") - b))
+        .cast("bigint")
+        .alias("trunc_tokens"),
+        (
+            F.sum(F.least(F.col("n_tok"), b)).cast("double")
+            / (F.count(F.lit(1)) * _PACK_BUDGET)
+        ).alias("util_single"),
+        F.sum((last > first).cast("bigint")).cast("bigint").alias(
+            "straddle_docs"
+        ),
+        concat_windows.alias("concat_windows"),
+        (
+            F.sum("n_tok").cast("double") / (concat_windows * _PACK_BUDGET)
+        ).alias("util_concat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition-based quality gate (Gopher-style)
 
 _REP_DUP_TAU = 0.80  # duplicate-token fraction gate
@@ -521,6 +637,89 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot_docs").cast("double")
             / (F.col("n_langs") * F.col("n_docs"))
         ).alias("uniform_weight"),
+    )
+
+
+_TEMP_ALPHA = 0.3  # exponent alpha = 1/T; 0.3 is the mT5/XLM-R default
+
+
+@query(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM per_lang),
+    shares AS (
+        SELECT lang, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / tot_tokens AS token_share,
+               pow(CAST(n_tokens AS DOUBLE) / tot_tokens, {_TEMP_ALPHA}) AS p
+        FROM per_lang, tot
+    ),
+    z AS (SELECT SUM(p) AS z FROM shares)
+    SELECT lang, n_docs, n_tokens, token_share,
+           round(p / z, 6) AS temp_weight,
+           round((p / z) / token_share, 6) AS boost
+    FROM shares, z
+    """,
+    tier="P2",
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling weights — the multilingual
+    training standard (mT5 / XLM-R: q_l ∝ p_l^alpha with alpha = 1/T):
+    upsample low-resource languages without flattening to uniform.
+    alpha = 1 reproduces natural token shares; alpha → 0 approaches
+    uniform; 0.3 (here) is the published default.  Emits per language:
+    counts, natural token share, the temperature weight q_l, and the
+    boost q_l / p_l a sampler multiplies into per-document keep
+    probabilities (boost > 1 = upsampled).  Complements
+    corpus_mixture_weights (the uniform-rebalance report, alpha = 0
+    in this family) and corpus_token_budget (hard per-lang budgets).
+
+    Scale shape: one partial/final agg to a |langs|-row table, a 1-row
+    grand total, then a second 1-row normalizer Σ p_l^alpha joined
+    back — every broadcast side is bounded by language cardinality or
+    is a single row at ANY corpus size.  token_share is an
+    identical-operand division of exact int64 sums (unrounded);
+    temp_weight and boost pass through pow(), which the two engines
+    take from different libm implementations — rounded @6 per the
+    exprs.py boundary rule.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens")
+    )
+    shares = per_lang.join(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("tot_tokens")).alias(
+            "token_share"
+        ),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("tot_tokens"),
+            F.lit(_TEMP_ALPHA),
+        ).alias("p"),
+    )
+    z = shares.agg(F.sum("p").alias("z"))
+    return shares.join(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        F.round(F.col("p") / F.col("z"), 6).alias("temp_weight"),
+        F.round((F.col("p") / F.col("z")) / F.col("token_share"), 6).alias(
+            "boost"
+        ),
     )
 
 

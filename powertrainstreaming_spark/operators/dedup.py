@@ -993,6 +993,16 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+_MLLIB_SAMPLE_MOD = 4
+
+
+def _mllib_sample_pred():
+    """Deterministic 1/_MLLIB_SAMPLE_MOD document slice for the MLlib
+    interop comparison — shared by the operator and its recall
+    property test so both sides of the comparison see the same docs."""
+    return F.pmod(F.xxhash64("doc_id"), F.lit(_MLLIB_SAMPLE_MOD)) == 0
+
+
 @query("dedup_minhash_mllib", oracle=None, tier="P2")
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib-interop near-dup pairs: Tokenizer -> binary HashingTF ->
@@ -1011,10 +1021,26 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-rolled MinHash: candidate volume is bounded by band-bucket
     sizes, and the fit() is a metadata pass (MinHashLSH samples hash
     coefficients; no data-dependent training job).
+
+    Runs on a deterministic 1/4 hash-sample of documents
+    (_MLLIB_SAMPLE_MOD): this operator is an INTEROP COMPARISON — its
+    signal is "the ml.Pipeline route produces verified pairs with high
+    recall against the exact ground truth on the same slice", and that
+    signal is slice-invariant (hash sampling preserves the dup-pair
+    distribution; both docs of a near-dup pair survive with p=1/16,
+    which at gate scale still leaves ~170 true pairs).  The slice cut
+    the sf0.1 sweep tail from 176 s to well under 60 s — the
+    production near-dup path is dedup_near_minhash, which runs
+    unsampled.  The recall property test samples the ground truth with
+    the IDENTICAL Spark-side predicate.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(_mllib_sample_pred())
+        .select("doc_id", "text")
+    )
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
     feats = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1024, binary=True

@@ -1096,7 +1096,13 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, graph.py).  The per-round state handed to the next round
     is ONE row per language — broadcast by construction, the same
     bounded-state argument as the DSIR ratio table (corpus.py).  Round
-    count is a training hyperparameter, not a function of corpus size.
+    count is a training hyperparameter, not a function of corpus size
+    — but it IS this architecture's scale axis: one shuffle round per
+    merge is for statistic-scale merge counts (≤ ~100), not a 30k-merge
+    production vocabulary.  The rounds envelope and the production
+    split (driver-side merge loop over the Heaps-law vocabulary +
+    distributed encode via broadcast merge table) are documented in
+    ``_bpe_train``'s docstring and docs/SCALE.md.
 
     Greedy-merge mechanics: each word's segmentation is a CELL STRING
     — every symbol wrapped as ``' sym '`` and concatenated, so
@@ -1116,7 +1122,7 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     join leaves the whole trainer declarative — Catalyst sees every
     round, and the driver never holds corpus-derived strings.
     """
-    _, bests = _bpe_train(spark, sf_dir)
+    _, bests = _bpe_train(spark, sf_dir, need_final=False)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -1124,11 +1130,35 @@ def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_train(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[DataFrame]]:
+    spark: SparkSession, sf_dir: str, need_final: bool = True
+) -> tuple[DataFrame | None, list[DataFrame]]:
     """Run the greedy merge loop; return (final segmented vocabulary,
     per-step merge rows) — shared by the trainer (merge table) and the
-    encoder (symbol stats) queries."""
+    encoder (symbol stats) queries.
+
+    ``need_final=False`` (the trainer's path, which consumes only the
+    per-step merge rows) skips the LAST round's vocabulary-wide
+    replace + localCheckpoint — the final segmentation is only an
+    input to the NEXT round's pair counts, and there is no next round.
+    Rounds 1..n-1 still materialize unconditionally: their ``cur`` is
+    what round s+1's counts read.  Returns ``(None, bests)`` in that
+    mode.
+
+    Rounds envelope (the 100 TB honesty note): this architecture runs
+    ONE Spark shuffle round + localCheckpoint PER MERGE, so it is for
+    statistic-scale merge counts (≤ ~100 rounds — merge-table audits,
+    per-language vocabulary probes, curriculum diagnostics), not for
+    training a production 30k-merge vocabulary, which would mean 30k
+    sequential Spark rounds of pure scheduling latency.  The
+    production split: the corpus-wide (lang, word) → frequency
+    aggregate stays distributed (it IS the one corpus pass here), the
+    vocabulary — MBs after Heaps' law — is hash-sampled or collected
+    to the driver for the tight merge loop, and the learned merge
+    table comes back as a broadcast for distributed ENCODE (the
+    encoder half already exists: bpe_encode_stats applies merges via
+    exactly such a broadcast join).  Same envelope pattern as
+    dedup_near_exact's corpus note (dedup.py).
+    """
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -1179,6 +1209,8 @@ def _bpe_train(
                 "freq",
             )
         )
+        if s == _BPE_MERGE_STEPS and not need_final:
+            return None, bests
         # One row per language — bounded by language cardinality, the
         # same broadcast argument as corpus.py's mixture-weight table.
         merge_tbl = F.broadcast(

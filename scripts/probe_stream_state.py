@@ -1,0 +1,158 @@
+"""State-store size probe: unbounded vs watermark-bounded segment dedup.
+
+docs/SCALE.md names ``dropDuplicatesWithinWatermark`` as the
+bounded-horizon production variant of ``stream_segment_dedup`` — this
+probe turns that prose claim into a measurement.  Both variants replay
+the documents fixture as an N-micro-batch file stream (doc_id-ordered
+slices, one synthetic event-time "day" per slice, so arrival order IS
+event-time order); the probe records the dedup state operator's
+``numRowsTotal`` from the final query progress:
+
+- UNBOUNDED (``dropDuplicates``): state = every distinct segment ever
+  seen — the irreducible size of a global dedup index; grows with
+  corpus content forever.
+- BOUNDED (``withWatermark(event_time, H) +
+  dropDuplicatesWithinWatermark``): state = segments within the
+  watermark horizon H; old entries are evicted as the watermark
+  advances, so state is bounded by the horizon's content volume
+  REGARDLESS of how long the stream runs — the deployment shape for a
+  continuous crawl where exact-once-ever semantics are relaxed to
+  exact-once-per-horizon.
+
+Emitted-row semantics differ by design: the bounded variant may
+re-emit a segment whose previous sighting fell off the horizon —
+that's the trade being measured, not a bug.
+
+    python scripts/probe_stream_state.py            # 1x and 10x tiers
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ["TZ"] = "UTC"
+time.tzset()
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+N_BATCHES = 10
+HORIZON_DAYS = 2  # watermark horizon, in synthetic event-time days
+_DAY = 86_400
+
+
+def stage_batches(sf_dirs: list[str], n: int = N_BATCHES) -> str:
+    """doc_id-ordered row slices across all source dirs, one synthetic
+    event-time day per slice (event_ts column added), strictly
+    increasing mtimes so the file source replays slice k as batch k."""
+    from powertrainstreaming_spark.scratch import scratch_dir
+    from powertrainstreaming_spark.sources.loaders import table_path
+
+    import pyarrow as pa
+
+    stage = scratch_dir(prefix="pts_streamstate_")
+    tables = [pq.read_table(table_path(d, "documents")) for d in sf_dirs]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    base = 1_600_000_000
+    for k in range(n):
+        lo, hi = k * t.num_rows // n, (k + 1) * t.num_rows // n
+        sl = t.slice(lo, hi - lo)
+        ts = pa.array(
+            [base + k * _DAY] * sl.num_rows, type=pa.timestamp("us", tz="UTC")
+        )
+        sl = sl.append_column("event_ts", ts)
+        path = os.path.join(stage, f"part-{k:04d}.parquet")
+        pq.write_table(sl, path)
+        os.utime(path, (base + 10 * k, base + 10 * k))
+    return stage
+
+
+def run_variant(spark, stage: str, bounded: bool) -> tuple[int, int, float]:
+    """Replay the staged stream through one dedup variant; return
+    (emitted rows, max state rows across progress events, wall s)."""
+    from powertrainstreaming_spark.operators.dedup import _SEG_TOKENS
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    schema = TABLE_DDL["documents"] + ", event_ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    segs = sdf.select(
+        "event_ts",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / "
+                f"{_SEG_TOKENS}.0) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {_SEG_TOKENS} + 1, {_SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg"),
+    )
+    if bounded:
+        deduped = segs.withWatermark(
+            "event_ts", f"{HORIZON_DAYS} days"
+        ).dropDuplicatesWithinWatermark(["seg"])
+    else:
+        deduped = segs.dropDuplicates(["seg"])
+
+    name = f"probe_{'bounded' if bounded else 'unbounded'}_{int(time.time() * 1e6)}"
+    t0 = time.perf_counter()
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    ops = [so for p in q.recentProgress for so in p.stateOperators]
+    state_max = max((so.numRowsTotal for so in ops), default=0)
+    mem_max = max((so.memoryUsedBytes for so in ops), default=0)
+    emitted = spark.table(name).count()
+    return emitted, state_max, mem_max, wall
+
+
+def main() -> None:
+    from powertrainstreaming_spark.session import get_spark
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from scale_probe import stage_10x
+
+    spark = get_spark(app_name="pts-stream-state-probe")
+    # progress events are the measurement — keep all N_BATCHES of them
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+
+    rows = []
+    for tier, dirs in (("1x", ["/root/testdata/sf0.1"]), ("10x", None)):
+        if dirs is None:
+            # documents-only replication; the probe reads nothing else
+            dirs = [stage_10x(copies=10, tables=["documents"])]
+        stage = stage_batches(dirs, N_BATCHES)
+        for bounded in (False, True):
+            emitted, state, mem, wall = run_variant(spark, stage, bounded)
+            label = "bounded" if bounded else "unbounded"
+            rows.append(
+                f"| {tier} | {label} | {emitted} | {state} | "
+                f"{mem / 1e6:.1f} | {wall:.2f} |"
+            )
+            print(rows[-1], flush=True)
+    print()
+    print(
+        "| tier | variant | emitted rows | max state rows | "
+        "max state MB | wall (s) |"
+    )
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,6 +149,7 @@ def main(only: list[str] | None = None) -> None:
         "text_bpe_pair_counts": defs["text_bpe_pair_counts"].fn,
         "text_bpe_merge_steps": defs["text_bpe_merge_steps"].fn,
         "text_bpe_encode_stats": defs["text_bpe_encode_stats"].fn,
+        "text_bpe_fertility": defs["text_bpe_fertility"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
@@ -249,6 +250,7 @@ _TIER100_PROBES = [
     "text_bpe_pair_counts",
     "text_bpe_merge_steps",
     "text_bpe_encode_stats",
+    "text_bpe_fertility",
     "corpus_dsir_weights",
     "dedup_near_minhash",
     "dedup_near_exact",

@@ -25,7 +25,12 @@ _EXCLUDED_PREFIXES = ("stream_", "source_", "sink_")
 # Queries whose SEMANTICS require rows (a 1-row probe vector for kNN,
 # trained centroids) — they raise a clear error on an empty corpus by
 # design, asserted separately below.
-_NEEDS_ROWS = {"sim_knn_bruteforce", "sim_knn_ivf", "sim_knn_ivf_kmeans"}
+_NEEDS_ROWS = {
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    "sim_knn_ivf_kmeans",
+    "sim_pq_adc",  # trains per-subspace codebooks from corpus rows
+}
 
 
 @pytest.fixture(scope="module")

@@ -175,6 +175,11 @@ def test_extras_are_intentional():
         "text_bpe_merge_steps",
         "text_bpe_encode_stats",
         "text_bpe_fertility",
+        # round 8
+        "corpus_mixture_temperature",
+        "diag_key_skew",
+        "sim_pq_adc",
+        "pack_strategy_compare",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
