@@ -62,8 +62,12 @@ def stage_batches(sf_dirs: list[str], n: int = N_BATCHES) -> str:
     for k in range(n):
         lo, hi = k * t.num_rows // n, (k + 1) * t.num_rows // n
         sl = t.slice(lo, hi - lo)
+        # microsecond-typed column: values must be epoch MICROSECONDS
+        # (epoch seconds here would compress the 10 "days" into 0.9 s
+        # of event time and the watermark would never leave the epoch)
         ts = pa.array(
-            [base + k * _DAY] * sl.num_rows, type=pa.timestamp("us", tz="UTC")
+            [(base + k * _DAY) * 1_000_000] * sl.num_rows,
+            type=pa.timestamp("us", tz="UTC"),
         )
         sl = sl.append_column("event_ts", ts)
         path = os.path.join(stage, f"part-{k:04d}.parquet")
