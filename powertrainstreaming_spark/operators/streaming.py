@@ -403,9 +403,10 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API choice: Spark 4's transformWithStateInPandas supersedes this
     API upstream, but its Python driver worker needs google.protobuf
-    (probed in-session, re-confirmed rounds 6 AND 7 — google.protobuf
-    still absent: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
-    ImportError google.protobuf), which this offline container lacks —
+    (probed in-session, re-confirmed rounds 6, 7 AND 8 —
+    google.protobuf still absent:
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
+    google.protobuf), which this offline container lacks —
     applyInPandasWithState has no such dependency and expresses the
     identical per-key state contract, so it is the supported path here.
 

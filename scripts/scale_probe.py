@@ -150,6 +150,10 @@ def main(only: list[str] | None = None) -> None:
         "text_bpe_merge_steps": defs["text_bpe_merge_steps"].fn,
         "text_bpe_encode_stats": defs["text_bpe_encode_stats"].fn,
         "text_bpe_fertility": defs["text_bpe_fertility"].fn,
+        "sim_pq_adc": defs["sim_pq_adc"].fn,
+        "pack_strategy_compare": defs["pack_strategy_compare"].fn,
+        "corpus_mixture_temperature": defs["corpus_mixture_temperature"].fn,
+        "diag_key_skew": defs["diag_key_skew"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
@@ -230,11 +234,16 @@ def main(only: list[str] | None = None) -> None:
             if existing is not None:
                 doc[existing] = row
             else:
-                # end of the FIRST table: last consecutive "| " DATA
-                # row (skip the header, whose successor is the |---|
-                # separator rather than another "| " line)
-                sep = next(i for i, ln in enumerate(doc) if ln.startswith("|---"))
-                end = sep
+                # end of the 10× PROBE table specifically — located by
+                # its header, not "the first |--- separator" (other
+                # tables may precede it in the doc; round 8's splice
+                # landed rows in the stream-state table that way)
+                hdr = next(
+                    i
+                    for i, ln in enumerate(doc)
+                    if ln.startswith("| operator | 1× (s) |")
+                )
+                end = hdr + 1  # the |---| separator
                 while end + 1 < len(doc) and doc[end + 1].startswith("| "):
                     end += 1
                 doc.insert(end + 1, row)
