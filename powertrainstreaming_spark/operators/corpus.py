@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from powertrainstreaming_spark.functions.exprs import POLY_M, o_poly_hash, poly_hash
+from powertrainstreaming_spark.functions.exprs import (
+    POLY_B2,
+    POLY_M,
+    POLY_M2,
+    o_poly_hash,
+    poly_hash,
+)
 from powertrainstreaming_spark.plans.registry import query
 from powertrainstreaming_spark.sources.loaders import load
 
@@ -98,6 +104,163 @@ def corpus_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            ratio.alias("hit_ratio"),
+            (ratio >= _DECONTAM_TAU).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the map-only 100 TB shape of the same test
+
+_BLOOM_BITS = 65536  # m: filter size in bits (2048 x 32-bit words)
+_BLOOM_WORD = 32  # word width; 32 keeps every shift amount < 63 everywhere
+
+_BLOOM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                   AS shingle
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    pos AS (
+        SELECT {o_poly_hash('shingle')} % {_BLOOM_BITS} AS p FROM ev
+        UNION ALL
+        SELECT {o_poly_hash('shingle', POLY_B2, POLY_M2)} % {_BLOOM_BITS}
+        FROM ev
+    ),
+    bloom AS (
+        SELECT p // {_BLOOM_WORD} AS w,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(p % {_BLOOM_WORD} AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    tr AS (
+        SELECT doc_id,
+               {o_poly_hash('shingle')} % {_BLOOM_BITS} AS p1,
+               {o_poly_hash('shingle', POLY_B2, POLY_M2)} % {_BLOOM_BITS}
+                   AS p2
+        FROM sh WHERE doc_id % {_EVAL_MOD} != 0
+    ),
+    j AS (
+        SELECT tr.doc_id,
+               (b1.bits IS NOT NULL AND b2.bits IS NOT NULL
+                AND (b1.bits & (CAST(1 AS BIGINT)
+                                << CAST(tr.p1 % {_BLOOM_WORD} AS INT))) != 0
+                AND (b2.bits & (CAST(1 AS BIGINT)
+                                << CAST(tr.p2 % {_BLOOM_WORD} AS INT))) != 0)
+                   AS hit
+        FROM tr
+        LEFT JOIN bloom b1 ON tr.p1 // {_BLOOM_WORD} = b1.w
+        LEFT JOIN bloom b2 ON tr.p2 // {_BLOOM_WORD} = b2.w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS hit_ratio,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               >= {_DECONTAM_TAU} AS contaminated
+    FROM j GROUP BY doc_id
+    """
+
+
+@query("corpus_decontam_bloom", oracle=_BLOOM_ORACLE, tier="P2")
+def corpus_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the same per-doc
+    contamination test as ``corpus_decontam_ngram``, but the eval
+    trigram set is compressed into a 64 Kbit / k=2 Bloom filter
+    (2048 int64-words carrying 32 bits each) BEFORE it meets the
+    corpus, so the corpus side is never shuffled: membership is two
+    broadcast equi-joins on the word index (map-side) plus bitwise
+    AND, then one per-doc count aggregate.
+
+    Why this exists next to the exact twin: at 100 TB the exact test
+    shuffles every (doc, trigram) row by the SHINGLE STRING to meet
+    the eval set (fine when the eval side broadcasts, but a full
+    benchmark-suite trigram set can reach GBs); the Bloom filter is a
+    fixed 16 KB REGARDLESS of eval-set size, the classic space/
+    precision trade (Bloom 1970).  One-sided error: every truly
+    contaminated trigram IS flagged (no false negatives, the property
+    a decontamination gate must not lose), with false-positive rate
+    (1 - e^(-kn/m))^k — ~1e-3 at the sf0.1 eval cardinality, and the
+    flag threshold is the same >=5% of a doc's trigrams as the exact
+    twin, so a false flag needs a 50x concentration of independent
+    FPs in one doc.  The filter is built from the engine's own
+    deterministic poly-hash pair (exprs.py), so the DuckDB oracle
+    reconstructs the IDENTICAL filter bit-for-bit and the whole
+    operator — false positives included — hash-checks cross-engine.
+    Superset-of-exact and FP-overhead invariants are property-tested
+    (tests/test_properties.py).
+
+    Plan shape: eval trigrams -> two positions each -> groupBy(word)
+    bit_or = a <=2048-row filter (one tiny shuffle of eval-sized
+    rows); corpus trigrams pick up their two words via two BROADCAST
+    joins (no corpus shuffle), and the only corpus-sized shuffle is
+    the final per-doc count — same as any per-doc aggregate.
+    hit_ratio divides two counts computed identically by both engines
+    — unrounded per the exprs.py rule.
+    """
+    docs = load(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(_word_trigrams(F.split(F.col("text"), " "))).alias("shingle"),
+    )
+    p1 = poly_hash("shingle") % _BLOOM_BITS
+    p2 = poly_hash("shingle", POLY_B2, POLY_M2) % _BLOOM_BITS
+    ev_pos = (
+        shingles.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .select(p1.alias("p"), p2.alias("p2"))
+    )
+    pos = ev_pos.select("p").unionAll(ev_pos.select(F.col("p2").alias("p")))
+    bloom = (
+        pos.select(
+            F.floor(F.col("p") / _BLOOM_WORD).cast("bigint").alias("w"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(p % {_BLOOM_WORD} as int))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    tr = shingles.where(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id", p1.alias("p1"), p2.alias("p2")
+    )
+    tr = tr.withColumn(
+        "w1", F.floor(F.col("p1") / _BLOOM_WORD).cast("bigint")
+    ).withColumn("w2", F.floor(F.col("p2") / _BLOOM_WORD).cast("bigint"))
+    b1 = F.broadcast(
+        bloom.select(F.col("w").alias("w1"), F.col("bits").alias("bits1"))
+    )
+    b2 = F.broadcast(
+        bloom.select(F.col("w").alias("w2"), F.col("bits").alias("bits2"))
+    )
+    hit = F.expr(
+        "bits1 is not null and bits2 is not null "
+        f"and (bits1 & shiftleft(cast(1 as bigint), "
+        f"cast(p1 % {_BLOOM_WORD} as int))) != 0 "
+        f"and (bits2 & shiftleft(cast(1 as bigint), "
+        f"cast(p2 % {_BLOOM_WORD} as int))) != 0"
+    )
+    joined = (
+        tr.join(b1, "w1", "left").join(b2, "w2", "left").withColumn("hit", hit)
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_shingles")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("hit").cast("bigint")).cast("bigint").alias("n_hit"),
         )
         .select(
             "doc_id",

@@ -895,6 +895,141 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_D = 0.75  # Kneser-Ney absolute discount (the standard value)
+
+
+@query(
+    "text_bigram_kn_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id,
+               split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS b
+              FROM t)
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n_after
+        FROM c12 GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_before
+        FROM c12 GROUP BY w2
+    ),
+    ttl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c12),
+    model AS (
+        SELECT c12.w1, c12.w2,
+               (CAST(c12.c12 AS DOUBLE) - {_KN_D}) / ctx.c1
+               + ({_KN_D} * ctx.n_after / ctx.c1)
+                 * (CAST(cont.n_before AS DOUBLE) / ttl.n_types) AS p
+        FROM c12
+        JOIN ctx ON c12.w1 = ctx.w1
+        JOIN cont ON c12.w2 = cont.w2
+        CROSS JOIN ttl
+    ),
+    tf AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM bg GROUP BY doc_id, w1, w2
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+           round(-SUM(CAST(tf.tf AS DOUBLE) * ln(m.p))
+                 / CAST(SUM(tf.tf) AS DOUBLE), 6) AS cross_entropy,
+           round(exp(-SUM(CAST(tf.tf AS DOUBLE) * ln(m.p))
+                     / CAST(SUM(tf.tf) AS DOUBLE)), 6) AS perplexity
+    FROM tf JOIN model m ON tf.w1 = m.w1 AND tf.w2 = m.w2
+    GROUP BY tf.doc_id
+    """,
+    tier="P2",
+)
+def text_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998): per-document cross-entropy and perplexity
+    under a KN-smoothed bigram model trained on the corpus itself —
+    the step up from ``text_unigram_logprob`` that a CCNet-style
+    quality pipeline takes when unigram perplexity stops separating
+    fluent text from well-distributed token salad (a bag of frequent
+    words scores well under a unigram model; KN demands the frequent
+    TRANSITIONS too).
+
+    Model, all from two bigram aggregates: P(w2|w1) =
+    max(c(w1,w2) − D, 0)/c(w1·) + λ(w1)·P_cont(w2) with D = 0.75,
+    λ(w1) = D·N1+(w1·)/c(w1·), and the Kneser-Ney continuation
+    probability P_cont(w2) = N1+(·w2)/|bigram types| (how many
+    contexts a word FOLLOWS, not how often it occurs).  Because the
+    model is trained on the scored corpus, every scored bigram has
+    c ≥ 1 > D, so the max() never clips and no out-of-vocabulary
+    backoff path is needed — self-scoring is the quality-filter
+    deployment (score each doc against the corpus it belongs to).
+
+    Plan shape: one bigram explode (map-only transform over the token
+    array, the BPE pair pattern), corpus model = one groupBy(w1, w2)
+    then two vocabulary-sized groupBys of THAT (context totals + Kneser
+    continuation counts — each row of c12 is a distinct bigram, so
+    count(*) IS N1+), one 1-row type-total broadcast, and per-doc tf
+    joined to the model on the bigram key — every shuffle is linear in
+    corpus bigrams or bounded by Heaps-law bigram-type counts; no
+    broadcast of anything vocabulary-sized.  The probability arithmetic
+    is identical-operand IEEE on exact counts, but ln/exp take
+    different libm paths and the per-doc weighted sum is
+    order-dependent — outputs rounded @6, counts exact (the unigram
+    twin's contract).
+    """
+    docs = load(spark, sf_dir, "documents")
+    # size >= 2 guard first: sequence(1, 0) DESCENDS in Spark (the BPE
+    # trap, text.py:1150) and element_at(_, 0) is an error, so a
+    # 1-token doc must never reach the transform.
+    bg = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).alias("n_after"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_before"))
+    ttl = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    p = (F.col("c12").cast("double") - _KN_D) / F.col("c1") + (
+        F.lit(_KN_D) * F.col("n_after") / F.col("c1")
+    ) * (F.col("n_before").cast("double") / F.col("n_types"))
+    model = (
+        c12.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ttl))
+        .select("w1", "w2", p.alias("p"))
+    )
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(model, ["w1", "w2"])
+    n = F.sum("tf").cast("bigint")
+    ce = -F.sum(F.col("tf").cast("double") * F.log(F.col("p"))) / n.cast(
+        "double"
+    )
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_bigrams"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
+
+
 _HASH_DIM = 1024  # feature-vector width for the hashing trick
 
 

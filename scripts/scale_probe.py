@@ -154,6 +154,8 @@ def main(only: list[str] | None = None) -> None:
         "pack_strategy_compare": defs["pack_strategy_compare"].fn,
         "corpus_mixture_temperature": defs["corpus_mixture_temperature"].fn,
         "diag_key_skew": defs["diag_key_skew"].fn,
+        "corpus_decontam_bloom": defs["corpus_decontam_bloom"].fn,
+        "text_bigram_kn_logprob": defs["text_bigram_kn_logprob"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,

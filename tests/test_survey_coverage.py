@@ -180,6 +180,8 @@ def test_extras_are_intentional():
         "diag_key_skew",
         "sim_pq_adc",
         "pack_strategy_compare",
+        "corpus_decontam_bloom",
+        "text_bigram_kn_logprob",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
