@@ -782,3 +782,145 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_building"),
         F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005)
+
+_CMS_D = 4  # sketch depth (hash rows)
+_CMS_W = 512  # sketch width (cells per row); eps ~ e/512
+_CMS_PHI_INV = 1000  # heavy-hitter threshold: est * 1000 >= N  (phi = 0.1%)
+
+
+def _cms_oracle() -> str:
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B,
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        o_poly_hash,
+    )
+
+    h1 = o_poly_hash("token", base=POLY_B, mod=POLY_M)
+    h2 = o_poly_hash("token", base=POLY_B2, mod=POLY_M2)
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT token, {h1} AS h1, {h2} AS h2 FROM tok
+    ),
+    cells AS (
+        SELECT row_idx,
+               CAST((h1 + row_idx * h2) % {POLY_M} % {_CMS_W} AS BIGINT)
+                   AS col_idx,
+               token
+        FROM hashed, range({_CMS_D}) AS r(row_idx)
+    ),
+    cms AS (
+        SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row_idx, col_idx
+    ),
+    exact AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+               CAST(MIN(h1) AS BIGINT) AS h1, CAST(MIN(h2) AS BIGINT) AS h2
+        FROM hashed GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    est AS (
+        SELECT e.token, e.exact_cnt,
+               CAST(MIN(c.cnt) AS BIGINT) AS est_cnt
+        FROM exact e
+        JOIN cms c
+          ON c.row_idx IN (SELECT * FROM range({_CMS_D}))
+         AND c.col_idx = (e.h1 + c.row_idx * e.h2) % {POLY_M} % {_CMS_W}
+        GROUP BY e.token, e.exact_cnt
+    )
+    SELECT token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+    FROM est CROSS JOIN n
+    WHERE est_cnt * {_CMS_PHI_INV} >= n.n
+    """
+
+
+@query("agg_countmin_heavy", oracle=_cms_oracle(), tier="P2")
+def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    build a d=4 × w=512 CMS over the corpus token stream with
+    Kirsch–Mitzenmacher double hashing (cell_i = (h1 + i·h2) mod M mod
+    w from the engine's two independent poly-hash fingerprints — two
+    hash folds per token, not four), then report every token whose
+    sketch estimate clears the 0.1% frequency threshold, alongside its
+    exact count so the CMS one-sided error (est ≥ exact, always) is
+    visible in the output.  The streaming-friendly frequent-items
+    primitive: unlike ``agg_approx_topk`` (Spark's native sketch,
+    rows-only checkable) this sketch is built from cross-engine-exact
+    integer arithmetic, so the ENTIRE sketch — collisions, overcounts
+    and all — is replayed bit-for-bit by the DuckDB oracle and the op
+    carries a full value-hash check with zero rounding.
+
+    100 TB plan shape — the corpus is touched by exactly ONE codegen
+    hash aggregate (token → exact count; partial agg collapses the
+    stream map-side, the shuffle carries Heaps-bounded vocabulary
+    rows).  The poly-hash folds are higher-order lambdas — INTERPRETED,
+    never codegen'd (CLAUDE.md rule) — so they run over the DISTINCT
+    vocabulary only, never per occurrence, and the sketch is built
+    from the frequency table (cell += exact_cnt): bit-identical to
+    per-occurrence updates because cell counts are additive, at
+    1/(corpus÷vocab) of the lambda evaluations.  [MEASURED, round 8]
+    the per-occurrence formulation probed 40.6× wall for 10× data
+    (2.05 s → 83.12 s — two interpreted folds per token occurrence,
+    re-executed by both the sketch and the exact branch); this
+    vocabulary-side formulation re-probed 1.2× (1.11 s → 1.28 s, rows
+    30 → 300) — a 65× cut at the 10× tier from moving the lambda off
+    the occurrence stream.  The vocabulary table is localCheckpointed once for
+    its three consumers (sketch / probes / N).  The finished sketch
+    is ≤ d·w = 2048 rows — broadcast to the probe join (this is WHY
+    CMS exists: fixed-size, mergeable across shards/streams).  The
+    threshold compare stays in exact integers (est·1000 ≥ N) so no
+    float enters the plan.
+    """
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        poly_hash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    hashedv = freq.select(
+        "token",
+        "exact_cnt",
+        poly_hash("token").alias("h1"),
+        poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+    ).localCheckpoint()
+    rows = F.array([F.lit(i) for i in range(_CMS_D)])
+    col_idx = (
+        (F.col("h1") + F.col("row_idx") * F.col("h2")) % POLY_M % _CMS_W
+    ).cast("bigint")
+    cms = (
+        hashedv.select("exact_cnt", F.explode(rows).alias("row_idx"), "h1", "h2")
+        .select("row_idx", col_idx.alias("col_idx"), "exact_cnt")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("exact_cnt").cast("bigint").alias("cnt"))
+    )
+    n = hashedv.agg(F.sum("exact_cnt").cast("bigint").alias("n"))
+    probes = hashedv.select(
+        "token", "exact_cnt", F.explode(rows).alias("row_idx"), "h1", "h2"
+    ).select("token", "exact_cnt", "row_idx", col_idx.alias("col_idx"))
+    est = (
+        probes.join(F.broadcast(cms), ["row_idx", "col_idx"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+    )
+    return (
+        est.crossJoin(F.broadcast(n))
+        .filter(F.col("est_cnt") * _CMS_PHI_INV >= F.col("n"))
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

@@ -410,7 +410,19 @@ def _minhash_band_sigs(toks: DataFrame) -> DataFrame:
     near-dup joins.  k=32 (_MINHASH_K) seeded min-hashes via the
     exact-int64 seed family h_i(t) = ((2i+1)·H(t) + i) mod p, folded
     into 4 bands (_MINHASH_B) of 8 rows (_MINHASH_R)."""
-    th = toks.select("doc_id", poly_hash("token").alias("h"))
+    return _band_sigs_from_h(
+        toks.select("doc_id", poly_hash("token").alias("h"))
+    )
+
+
+def _band_sigs_from_h(th: DataFrame) -> DataFrame:
+    """Banded signatures from already-hashed tokens (doc_id, h) — split
+    out so operators that collapse exact-duplicate sets first (house
+    rule) can band each DISTINCT set once from its stored code array
+    (h = code div 2³¹ recovers the primary poly-hash exactly: codes
+    pack h1·2³¹ + h2 with both halves < 2³¹) instead of re-hashing
+    member documents.  Values are bit-identical to hashing the raw
+    tokens, so _MINHASH_SIG_CTES stays the shared oracle either way."""
     # All k mins in ONE hash aggregate as k columns — NOT an
     # explode(sequence(0, k-1)) + groupBy(doc_id, seed): the explode
     # materializes k× the token rows through the aggregate iterator

@@ -1088,3 +1088,220 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionAll(within)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment join (quote / subset detection)
+
+# tau as an exact integer fraction: every PRUNING comparison (prefix
+# length, size filter) must be integer arithmetic — the float form
+# (1.0 - 0.9)*n evaluates to 0.0999…*n and FLOORS LOW at n % 10 == 0,
+# silently shortening the pigeonhole prefix below its lossless bound
+# ([MEASURED round 8]: 13 of 2099 true pairs dropped at sf0.01; caught
+# by the exhaustive oracle).  The final containment >= tau compare may
+# stay double: both engines evaluate the identical division against
+# the identically-parsed literal.
+_CONTAIN_NUM, _CONTAIN_DEN = 9, 10
+_CONTAIN_TAU = _CONTAIN_NUM / _CONTAIN_DEN
+_CONTAIN_QMOD = 41  # doc_id % 41 == 0 -> the query side
+
+_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    qs AS (SELECT * FROM toks WHERE doc_id % {_CONTAIN_QMOD} = 0),
+    cs AS (SELECT * FROM toks WHERE doc_id % {_CONTAIN_QMOD} != 0),
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM qs GROUP BY doc_id),
+    inter AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM qs q JOIN cs c ON q.token = c.token
+              GROUP BY 1, 2)
+    SELECT i.query_id, i.doc_id, i.n_shared,
+           CAST(i.n_shared AS DOUBLE) / na.n AS containment
+    FROM inter i JOIN na ON i.query_id = na.doc_id
+    WHERE CAST(i.n_shared AS DOUBLE) / na.n >= {_CONTAIN_TAU}
+    """
+
+
+@query("sim_containment_join", oracle=_CONTAINMENT_ORACLE, tier="P2")
+def sim_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join: every (query doc, corpus doc) pair
+    where the corpus doc covers ≥ 90% of the query's token set —
+    C(Q→D) = |Q∩D| / |Q|, the quote/excerpt/subset detector (Jaccard
+    treats a snippet inside a long page as DISsimilar; containment is
+    the predicate you actually want for "is this benchmark question
+    quoted inside a crawl page", cf. PPJoin's overlap variants, Xiao
+    et al. 2008).  The query side is doc_id % 41 == 0, standing in for
+    a bounded probe set (benchmark items, canary strings, takedown
+    texts).
+
+    Scale discipline, in order: (1) exact-duplicate COLLAPSE of both
+    sides by distinct token set (CLAUDE.md rule; verify runs once per
+    distinct-set pair, members expand at the end — including the
+    within-group arm, a query VERBATIM inside the corpus, containment
+    literal 1.0); (2) a LOSSLESS prefix block: if C ≥ τ then Q misses
+    at most floor((1−τ)·|Q|) of its own tokens in D, so by pigeonhole
+    any floor((1−τ)·|Q|)+1 tokens of Q include one shared with D —
+    the block joins only Q's rarest-(df)-first prefix against the
+    corpus-side inverted index (asymmetric: D is NOT prefix-truncated,
+    a snippet can sit inside any-length page; a size filter
+    |D| ≥ τ·|Q| prunes the rest).  Unlike MinHash banding this block
+    loses NOTHING — the oracle is the exhaustive inverted-index join
+    and must agree exactly.  (3) verify on packed int64 code arrays
+    (array_intersect, |pairs| rows — the _pair_jaccard argument).
+    Containment itself is one exact-int division — identical-operand,
+    bit-identical in both engines, UNROUNDED per the exprs.py boundary
+    rule.  At 100 TB the query side is bounded → its prefix table
+    broadcasts and the pass is one map-side semi-filter of the
+    inverted index + a candidate-sized verify, corpus-linear.
+    """
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M2,
+        poly_hash,
+    )
+    from powertrainstreaming_spark.operators.dedup import (
+        _JAC_COLLAPSE_MAX_MULT,
+        _doc_tokens,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    code = (
+        poly_hash("token") * F.lit(2_147_483_648)
+        + poly_hash("token", POLY_B2, POLY_M2)
+    ).alias("code")
+    sets_ = (
+        toks.select("doc_id", code)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("code")).alias("codes"))
+    )
+    grp = (
+        sets_.groupBy("codes")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id") % _CONTAIN_QMOD == 0, F.col("doc_id")
+                    )
+                )
+            ).alias("q_members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id") % _CONTAIN_QMOD != 0, F.col("doc_id")
+                    )
+                )
+            ).alias("c_members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("m") <= F.lit(_JAC_COLLAPSE_MAX_MULT),
+                F.concat(
+                    F.lit(
+                        "containment duplicate-collapse cap exceeded: one "
+                        "token set has multiplicity "
+                    ),
+                    F.col("m").cast("string"),
+                    F.lit(f" > {_JAC_COLLAPSE_MAX_MULT}"),
+                ),
+            ).isNull()
+        )
+        .localCheckpoint()
+    )
+    rep_toks = grp.select(
+        F.col("rep").alias("doc_id"), F.explode("codes").alias("token")
+    )
+    # Rarity order over DISTINCT sets, so prefixes carry the rarest
+    # tokens first and posting lists stay short (correctness does not
+    # depend on the order — only candidate count does).
+    df_ = rep_toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = rep_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Query-bearing groups: prefix of the floor((1-tau)*n)+1 rarest.
+    q_grp = grp.filter(F.size("q_members") >= 1)
+    q_ranked = (
+        q_grp.select(F.col("rep").alias("doc_id"), F.explode("codes").alias("token"))
+        .join(df_, "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+    )
+    # Exact-int prefix bound: misses <= n - ceil(tau*n) = (n*(DEN-NUM))
+    # div DEN, so that plus one prefix tokens guarantee a hit.
+    prefix_len = (
+        F.col("n") * (_CONTAIN_DEN - _CONTAIN_NUM)
+    ) / F.lit(_CONTAIN_DEN)
+    prefix_len = F.floor(prefix_len).cast("bigint") + 1
+    q_prefix = q_ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("doc_id").alias("rep_q"), "token", F.col("n").alias("nq")
+    )
+    # Corpus-bearing groups: FULL inverted index (asymmetric block).
+    c_grp = grp.filter(F.size("c_members") >= 1)
+    c_post = (
+        c_grp.select(
+            F.col("rep").alias("rep_c"), F.explode("codes").alias("token")
+        )
+        .join(sizes.withColumnRenamed("doc_id", "rep_c"), "rep_c")
+        .withColumnRenamed("n", "nc")
+    )
+    cand = (
+        q_prefix.join(
+            c_post,
+            (q_prefix["token"] == c_post["token"])
+            # identical sets are handled by the within-group arm below
+            & (F.col("rep_q") != F.col("rep_c"))
+            # exact-int size prune: nc >= tau*nq without float floors
+            & (F.col("nc") * _CONTAIN_DEN >= F.col("nq") * _CONTAIN_NUM),
+        )
+        .select("rep_q", "rep_c")
+        .distinct()
+    )
+    gq = grp.select(
+        F.col("rep").alias("rep_q"),
+        F.col("codes").alias("codes_q"),
+        F.col("q_members").alias("qm"),
+    )
+    gc = grp.select(
+        F.col("rep").alias("rep_c"),
+        F.col("codes").alias("codes_c"),
+        F.col("c_members").alias("cm"),
+    )
+    i = F.size(F.array_intersect("codes_q", "codes_c"))
+    verified = (
+        cand.join(gq, "rep_q")
+        .join(gc, "rep_c")
+        .select(
+            "qm",
+            "cm",
+            i.cast("bigint").alias("n_shared"),
+            (i.cast("double") / F.size("codes_q")).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+    )
+    cross = verified.select(
+        F.explode("qm").alias("query_id"), "cm", "n_shared", "containment"
+    ).select(
+        "query_id",
+        F.explode("cm").alias("doc_id"),
+        "n_shared",
+        "containment",
+    )
+    within = (
+        grp.filter((F.size("q_members") >= 1) & (F.size("c_members") >= 1))
+        .select(
+            F.explode("q_members").alias("query_id"),
+            F.col("c_members").alias("cm"),
+            F.size("codes").cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "query_id",
+            F.explode("cm").alias("doc_id"),
+            "n_shared",
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionAll(within)

@@ -762,3 +762,88 @@ def stream_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg")
     )
     return run_bounded(segs.dropDuplicates(["seg"]), "append")
+
+
+def _stream_cms_oracle() -> str:
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B,
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        o_poly_hash,
+    )
+    from powertrainstreaming_spark.operators.aggregates import _CMS_D, _CMS_W
+
+    h1 = o_poly_hash("token", base=POLY_B, mod=POLY_M)
+    h2 = o_poly_hash("token", base=POLY_B2, mod=POLY_M2)
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (SELECT {h1} AS h1, {h2} AS h2 FROM tok)
+    SELECT CAST(row_idx AS BIGINT) AS row_idx,
+           CAST((h1 + row_idx * h2) % {POLY_M} % {_CMS_W} AS BIGINT)
+               AS col_idx,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM hashed, range({_CMS_D}) AS r(row_idx)
+    GROUP BY 1, 2
+    """
+
+
+@query("stream_countmin_cells", oracle=_stream_cms_oracle(), tier="P2")
+def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: documents arrive as a file stream
+    (two doc_id-ordered micro-batches), each batch's tokens update the
+    d=4 × w=512 CMS cells, and complete-mode output emits the finished
+    sketch — the ingest-time twin of ``agg_countmin_heavy`` exactly as
+    ``stream_segment_dedup`` twins ``dedup_segment_global``.
+
+    The state story is this operator's reason to exist, and it is the
+    OPPOSITE of segment dedup's: the streaming aggregation state is AT
+    MOST d·w = 2048 rows no matter how much corpus flows through —
+    counts are additive, so the sketch is the canonical
+    bounded-state / mergeable streaming summary (what you deploy when
+    the exact frequency table would be Heaps-unbounded state on an
+    unbounded crawl; pair with the batch op's broadcast-probe readout
+    for heavy hitters).  Sketch arithmetic is the same
+    Kirsch–Mitzenmacher double poly-hash as the batch op, all exact
+    int64 — cell counts are additive across any batch split, so the
+    final table is deterministic under ANY micro-batch partitioning
+    and the op carries a full SQL oracle replaying the sketch
+    bit-for-bit.  Stream-vs-batch cell equality and per-row mass
+    conservation are property-tested.
+    """
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        poly_hash,
+    )
+    from powertrainstreaming_spark.operators.aggregates import _CMS_D, _CMS_W
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    stage = _stage_documents_halves(sf_dir)
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    rows = F.array([F.lit(i) for i in range(_CMS_D)])
+    cells = (
+        sdf.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .select(
+            poly_hash("token").alias("h1"),
+            poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+        )
+        .select(F.explode(rows).alias("row_idx"), "h1", "h2")
+        .select(
+            F.col("row_idx").cast("bigint").alias("row_idx"),
+            ((F.col("h1") + F.col("row_idx") * F.col("h2")) % POLY_M % _CMS_W)
+            .cast("bigint")
+            .alias("col_idx"),
+        )
+    )
+    agg = cells.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return run_bounded(agg, "complete")

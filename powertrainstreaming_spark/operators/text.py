@@ -1500,3 +1500,254 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chars_per_symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson & Spärck Jones; the Lucene/Okapi variant)
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 5  # top-k documents returned per query
+# Fixed benchmark query set: term mixes chosen to exercise both the
+# saturated high-df vocabulary and the one rare term ('dup', df ≈ 5%
+# of docs) so the IDF term actually separates.
+_BM25_QUERIES = (
+    ("q_stream", ("spark", "stream", "batch")),
+    ("q_dup", ("hash", "join", "dup")),
+    ("q_sortmerge", ("sort", "merge")),
+    ("q_scan", ("window", "scan", "query", "filter")),
+)
+_BM25_Q_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH q(query_id, token) AS (VALUES {_BM25_Q_SQL}),
+    qtok AS (SELECT DISTINCT token FROM q),
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM d
+    ),
+    hits AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MAX(dl) AS INT) AS dl
+        FROM (SELECT d.doc_id, len(d.t) AS dl, u.token
+              FROM d, unnest(d.t) AS u(token)
+              WHERE u.token IN (SELECT token FROM qtok))
+        GROUP BY doc_id, token
+    ),
+    dfs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM hits GROUP BY token),
+    scored AS (
+        SELECT q.query_id, h.doc_id,
+               SUM(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                   * (h.tf * ({_BM25_K1} + 1.0))
+                   / (h.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B} + {_BM25_B} * h.dl / s.avgdl)))
+                   AS raw,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM hits h
+        JOIN q ON h.token = q.token
+        JOIN dfs ON h.token = dfs.token
+        CROSS JOIN stats s
+        GROUP BY q.query_id, h.doc_id
+    )
+    SELECT query_id, doc_id, n_terms_hit, score
+    FROM (SELECT query_id, doc_id, n_terms_hit, round(raw, 6) AS score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(raw, 6) DESC, doc_id)
+                     AS rn
+          FROM scored)
+    WHERE rn <= {_BM25_K}
+    """,
+    tier="P2",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Okapi, the non-negative Lucene
+    IDF variant): score every document against a fixed query set and
+    return the 5 best per query — the ranked-retrieval half of the
+    text stack (``index_inverted_postings`` builds the index shape;
+    this is the scorer a RAG ingest or eval harness runs over it).
+
+    score(D,Q) = sum over query terms t of ln(1 + (N−df+0.5)/(df+0.5))
+                 · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with k1=1.2, b=0.75.
+
+    100 TB plan shape — the key move is that the QUERY SET is the
+    selective side: tokens are semi-joined to the (broadcast, literal)
+    query vocabulary BEFORE any shuffle, so the exploded stream that
+    reaches the (doc, token) aggregate carries only query-term hits
+    (~8/31 of tokens here; a few dozen terms vs a web-scale vocabulary
+    in production).  Document length rides the explode as a carried
+    column (one corpus pass, no second scan or doc_id re-join), corpus
+    stats (N, avgdl) are a 1-row broadcast, per-term df is a
+    query-vocabulary-sized broadcast derived from the hits aggregate
+    itself, and the final top-k is a window over per-query partitions
+    (k rows per query out).  Scoring arithmetic: ln is libm-divergent
+    and the per-doc term sum is order-dependent, so the score is
+    rounded @6 and the window orders by the ROUNDED score with doc_id
+    tiebreak — both engines rank the identical key.  tf/dl/df stay
+    exact ints.
+    """
+    docs = load(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, token string",
+    )
+    qtok = qterms.select("token").distinct()
+    d = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = (
+        d.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("token"))
+        .join(F.broadcast(qtok), "token")
+        .groupBy("doc_id", "token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.max("dl").cast("int").alias("dl"),
+        )
+    )
+    dfs = hits.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        hits.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(idf * tf_part), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BM25_K)
+        .select("query_id", "doc_id", "n_terms_hit", "score")
+    )
+
+
+_PMI_MIN_COUNT = 5  # drop noise pairs below this corpus count
+_PMI_K = 10  # collocations reported per language
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+        SELECT lang,
+               split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+        FROM (SELECT lang,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS b
+              FROM t)
+    ),
+    c12 AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY lang, w1, w2),
+    c1 AS (SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1
+           FROM c12 GROUP BY lang, w1),
+    c2 AS (SELECT lang, w2, CAST(SUM(c12) AS BIGINT) AS c2
+           FROM c12 GROUP BY lang, w2),
+    n AS (SELECT lang, CAST(SUM(c12) AS BIGINT) AS n FROM c12 GROUP BY lang),
+    scored AS (
+        SELECT c12.lang, c12.w1, c12.w2, c12.c12,
+               round(ln((CAST(c12.c12 AS DOUBLE) * n.n)
+                        / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) AS pmi
+        FROM c12
+        JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1
+        JOIN c2 ON c12.lang = c2.lang AND c12.w2 = c2.w2
+        JOIN n ON c12.lang = n.lang
+        WHERE c12.c12 >= {_PMI_MIN_COUNT}
+    )
+    SELECT lang, w1, w2, c12, pmi
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY pmi DESC, w1, w2) AS rn
+          FROM scored)
+    WHERE rn <= {_PMI_K}
+    """,
+    tier="P2",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990): the top adjacent word pairs per language whose co-occurrence
+    beats chance — PMI(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))) computed
+    from bigram counts as ln(c12·N / (c1·c2)), with a minimum-count
+    floor so rare-pair noise (PMI's known failure mode) never ranks.
+    The corpus-analysis primitive behind tokenizer-vocabulary seeding,
+    multi-word-expression lexicons, and domain drift readouts.
+
+    Plan shape (the KN-bigram lineage, one extra marginal): one bigram
+    explode, one (lang, w1, w2) aggregate, then the THREE marginals —
+    left totals, right totals, per-lang grand total — are all
+    vocabulary- or lang-sized aggregates OF the bigram-count table, so
+    the corpus is touched exactly once and every downstream shuffle is
+    bounded by Heaps-law bigram-type counts, not corpus size.  The
+    marginal joins are lang+word-keyed equi-joins; none carries a
+    broadcast hint (vocabulary grows with the corpus — house rule), so
+    AQE broadcasts while small and shuffles past that.  PMI arithmetic
+    is identical-operand double math on exact counts but ln is
+    libm-divergent → rounded @6; ranking uses the ROUNDED value with
+    (w1, w2) tiebreak so both engines sort the identical key.  Counts
+    stay exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bg = (
+        docs.select("lang", F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c2 = c12.groupBy("lang", "w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    n = c12.groupBy("lang").agg(F.sum("c12").cast("bigint").alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("n"))
+            / (F.col("c1").cast("double") * F.col("c2"))
+        ),
+        6,
+    )
+    scored = (
+        c12.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(c1, ["lang", "w1"])
+        .join(c2, ["lang", "w2"])
+        .join(n, "lang")
+        .select("lang", "w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PMI_K)
+        .select("lang", "w1", "w2", "c12", "pmi")
+    )

