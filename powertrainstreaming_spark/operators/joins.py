@@ -741,3 +741,72 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.col("n_regionkey").isNull().alias("via_null_match"),
     )
+
+
+@query(
+    "merge_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type != prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS INT) AS version,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM changes
+    """,
+    tier="P2",
+)
+def merge_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build: compress each user's
+    event_type stream into validity intervals — one row per STATE
+    CHANGE carrying [valid_from, valid_to) and an is_current flag —
+    the historized-dimension construction every warehouse load runs
+    after CDC ingestion (``merge_upsert_cdc`` keeps only the latest
+    row per key — type 1; this keeps the full history with interval
+    bounds — type 2).
+
+    Plan shape: one lag window per user partition detects changes
+    (consecutive-duplicate collapse — the gaps-and-islands move), a
+    filter keeps ~|changes| rows, then lead/row_number windows over
+    the CHANGE rows assign interval ends and versions — the second
+    window runs over the compressed relation, so its cost is bounded
+    by state-change count, not event count.  Determinism: change
+    ordering is the tie-free (ts, event_id); interval bounds are
+    copied timestamps (no arithmetic at all), so nothing rounds and
+    the oracle hash-matches exactly.  At 100 TB this is two
+    user-partitioned window passes — the same per-entity-sequence
+    envelope as sessionization, parallel across users.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w_ev).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w_ch = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_ch).alias("valid_to"),
+        F.row_number().over(w_ch).cast("int").alias("version"),
+        F.lead("valid_from").over(w_ch).isNull().alias("is_current"),
+    )

@@ -851,3 +851,108 @@ def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "event_id", "ts", "before_mean", "after_mean", "shift"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend)
+
+_HOLT_A = 0.5  # level smoothing (exactly representable in binary)
+_HOLT_B = 0.5  # trend smoothing
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE seqd AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS i
+        FROM events
+    ),
+    n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id),
+    hw AS (
+        SELECT user_id, i, CAST(value AS DOUBLE) AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM seqd WHERE i = 1
+        UNION ALL
+        SELECT s.user_id, s.i,
+               {_HOLT_A} * s.value + {1 - _HOLT_A} * (hw.l + hw.b),
+               {_HOLT_B} * (({_HOLT_A} * s.value
+                             + {1 - _HOLT_A} * (hw.l + hw.b)) - hw.l)
+                   + {1 - _HOLT_B} * hw.b
+        FROM hw JOIN seqd s ON s.user_id = hw.user_id AND s.i = hw.i + 1
+    )
+    SELECT hw.user_id, n.n_events, hw.l AS level, hw.b AS trend,
+           hw.l + hw.b AS forecast_next
+    FROM hw JOIN n ON hw.user_id = n.user_id
+    WHERE hw.i = n.n_events
+    """,
+    tier="P2",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user: level + trend state
+    (l_i = α·x_i + (1−α)(l_(i-1) + b_(i-1)); b_i = β(l_i −
+    l_(i-1)) + (1−β)b_(i-1); init l = x_1, b = 0) and the
+    one-step-ahead forecast l + b — the telemetry forecasting step up
+    from ``ts_ewma`` when the series has drift (EWMA lags a trending
+    signal by design; Holt tracks it).
+
+    Same execution contract as the EWMA fold: one groupBy collects
+    each user's ordered values, then a JVM higher-order LEFT FOLD over
+    a (level, trend) STRUCT accumulator — sequential per key as the
+    recurrence demands, state bounded per entity, zero Python.  Both
+    engines evaluate the SAME operands in the SAME order with
+    α = β = 0.5 exactly representable, so every output is
+    IEEE-bit-identical and nothing is rounded (the new level appears
+    twice inside the trend update — written out identically on both
+    sides, so common-subexpression differences cannot change the
+    arithmetic).  The lambda runs once per EVENT ROW grouped per user
+    (corpus-linear, same envelope as ts_ewma) — not per pair.
+
+    ORACLE TRAP [MEASURED round 8]: DuckDB 1.0's list_reduce with a
+    STRUCT accumulator evaluates the result struct's fields
+    sequentially INTO the accumulator — a later field that reads
+    acc.l observes the new value just written by the 'l' field
+    (probe: fold (acc,x)->(l: acc.l+x.l, b: acc.l*10) over [1,2,3]
+    init (0,0) returns b=60, i.e. new_l*10, where a true left fold
+    gives 30).  A two-variable recurrence therefore CANNOT be
+    oracle'd as a DuckDB struct fold; this oracle replays the
+    identical arithmetic as a RECURSIVE CTE stepping (user_id, i) —
+    one documented-SQL row per recurrence step, same operand order,
+    still bit-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+    )
+    agg = ev.groupBy("user_id").agg(seq.alias("seq"))
+    vals = F.transform(F.col("seq"), lambda s: s.getField("value"))
+    a, b = float(_HOLT_A), float(_HOLT_B)
+
+    def step(acc, x):
+        new_l = a * x + (1 - a) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        new_b = (
+            b
+            * (
+                (a * x + (1 - a) * (acc.getField("l") + acc.getField("b")))
+                - acc.getField("l")
+            )
+            + (1 - b) * acc.getField("b")
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    st = F.aggregate(tail, init, step)
+    return agg.select(
+        "user_id",
+        F.size(vals).cast("bigint").alias("n_events"),
+        st.getField("l").alias("level"),
+        st.getField("b").alias("trend"),
+        (st.getField("l") + st.getField("b")).alias("forecast_next"),
+    )

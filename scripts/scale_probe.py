@@ -165,6 +165,8 @@ def main(only: list[str] | None = None) -> None:
         "sim_containment_join": defs["sim_containment_join"].fn,
         "corpus_perplexity_buckets": defs["corpus_perplexity_buckets"].fn,
         "ts_level_shift": defs["ts_level_shift"].fn,
+        "ts_holt_winters": defs["ts_holt_winters"].fn,
+        "merge_scd2_intervals": defs["merge_scd2_intervals"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,
@@ -377,6 +379,11 @@ def main_100x(only: str | None = None) -> None:
     # sim_lsh_rp_pairs OOMed at 250 MB/core even with the partition fix
     # below.  48 g / 32 cores = 1.5 GB/core, the low end of production.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Idempotent: single-op invocations must be self-sufficient too
+    # (the round-8 chain called `100 <op>` directly on a clean host
+    # and hit PATH_NOT_FOUND because staging only ran in loop mode).
+    _stage_into(_STAGE10, 10)
+    _stage_into(_STAGE100, 100)
     spark = get_spark(app_name=f"pts-scale-100x-{only}")
     fn = all_defs()[only].fn
 

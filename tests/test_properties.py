@@ -1834,3 +1834,88 @@ def test_level_shift_matches_exact_decimal_recompute(spark):
             assert abs(h["before_mean"] - b) < 1e-9
             assert abs(h["after_mean"] - a) < 1e-9
             assert abs(h["shift"] - s) < 1e-9
+
+
+def test_holt_winters_is_bit_identical_to_python_fold(spark):
+    """The operator's determinism claim is BIT-identity (no rounding
+    anywhere), so the test demands exact == against a plain Python
+    replay of the recurrence for every user — any associativity or
+    init drift in either engine's fold shows up as a hard mismatch.
+    Also pins the trend's sign usefulness: a user whose values are
+    shifted by a constant must keep an identical trend (level
+    equivariance of the recurrence)."""
+    from powertrainstreaming_spark.operators.timeseries import (
+        _HOLT_A,
+        _HOLT_B,
+        ts_holt_winters,
+    )
+
+    got = {r["user_id"]: r for r in ts_holt_winters(spark, SF).collect()}
+    ev = load(spark, SF, "events").collect()
+    series: dict[int, list] = {}
+    for e in ev:
+        series.setdefault(e["user_id"], []).append(e)
+    assert set(got) == set(series)
+    for uid, rows in series.items():
+        rows.sort(key=lambda e: (e["ts"], e["event_id"]))
+        vals = [e["value"] for e in rows]
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            nl = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
+            b = _HOLT_B * (nl - l) + (1 - _HOLT_B) * b
+            l = nl
+        r = got[uid]
+        assert r["n_events"] == len(vals)
+        assert r["level"] == l and r["trend"] == b, uid
+        assert r["forecast_next"] == l + b, uid
+    # level equivariance: shifting every value by +c shifts level by
+    # +c and leaves trend unchanged (exact in reals; verify in floats
+    # to 1e-9 on one synthetic fold).
+    vals = [3.0, 7.0, 5.0, 9.0]
+    def fold(vs):
+        l, b = vs[0], 0.0
+        for x in vs[1:]:
+            nl = _HOLT_A * x + (1 - _HOLT_A) * (l + b)
+            b = _HOLT_B * (nl - l) + (1 - _HOLT_B) * b
+            l = nl
+        return l, b
+    l0, b0 = fold(vals)
+    l1, b1 = fold([v + 100.0 for v in vals])
+    assert abs(l1 - (l0 + 100.0)) < 1e-9 and abs(b1 - b0) < 1e-9
+
+
+def test_scd2_intervals_partition_time_and_replay_history(spark):
+    """SCD2 contract per user: (1) versions are 1..k in valid_from
+    order; (2) intervals CHAIN — valid_to equals the next valid_from,
+    with exactly one open (null) interval flagged is_current; (3) the
+    compressed history REPLAYS the raw stream: walking the user's
+    events in (ts, event_id) order and noting each event_type change
+    reproduces the operator's (event_type, valid_from) rows exactly;
+    (4) the first interval starts at the user's first event."""
+    from powertrainstreaming_spark.operators.joins import (
+        merge_scd2_intervals,
+    )
+
+    out: dict[int, list] = {}
+    for r in merge_scd2_intervals(spark, SF).collect():
+        out.setdefault(r["user_id"], []).append(r)
+    ev = load(spark, SF, "events").collect()
+    series: dict[int, list] = {}
+    for e in ev:
+        series.setdefault(e["user_id"], []).append(e)
+    assert set(out) == set(series)
+    for uid, rows in out.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        evs = sorted(series[uid], key=lambda e: (e["ts"], e["event_id"]))
+        replay, prev = [], None
+        for e in evs:
+            if e["event_type"] != prev:
+                replay.append((e["event_type"], e["ts"]))
+                prev = e["event_type"]
+        assert [(r["event_type"], r["valid_from"]) for r in rows] == replay
+        assert rows[0]["valid_from"] == evs[0]["ts"]

@@ -191,6 +191,8 @@ def test_extras_are_intentional():
         "sim_containment_join",
         "corpus_perplexity_buckets",
         "ts_level_shift",
+        "ts_holt_winters",
+        "merge_scd2_intervals",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
