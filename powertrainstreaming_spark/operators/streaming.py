@@ -847,3 +847,88 @@ def stream_countmin_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return run_bounded(agg, "complete")
+
+
+@query(
+    "stream_scd2_changes",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id, event_type, ts AS valid_from
+    FROM ordered
+    WHERE prev_type IS NULL OR event_type != prev_type
+    """,
+    tier="P2",
+)
+def stream_scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 change capture: per-user event_type STATE-CHANGE
+    rows emitted as the stream lands — the ingest-time half of
+    ``merge_scd2_intervals`` (which closes the intervals in batch),
+    completing the twin pattern stream_segment_dedup /
+    stream_countmin_cells established.  A warehouse consuming this
+    stream upserts open intervals and closes the previous one per
+    emission; the batch op is the nightly-rebuild equivalent.
+
+    State design: applyInPandasWithState holds ONE short string per
+    user (the last-seen event_type) — per-entity-bounded state, the
+    cheapest stateful-streaming shape there is (contrast
+    stream_segment_dedup's content-proportional dedup index and
+    stream_countmin_cells' fixed 2048-cell sketch: the three ops span
+    the whole streaming-state design space).  Each micro-batch's rows
+    for a user are sorted by (ts, event_id) inside the group function;
+    the two-file staging replays the fixture in row order, which IS
+    global (ts, event_id) order, so every batch-A row precedes every
+    batch-B row per user and the cross-batch walk reconstructs the
+    exact batch ordering — making the emitted change SET deterministic
+    and fully SQL-oracle-checkable (the lag-based batch CTE).  Same
+    applyInPandasWithState-over-transformWithStateInPandas API
+    rationale as stream_stateful_running (google.protobuf absent).
+    """
+    stage = _stage_events_split(sf_dir)
+    s = _staged_stream(spark, stage)
+    return run_bounded(scd2_changes_transform(s), "append")
+
+
+def scd2_changes_transform(s: DataFrame) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out_user, out_type, out_from = [], [], []
+        for et, ts in zip(batch["event_type"], batch["ts"]):
+            if last is None or et != last:
+                out_user.append(key[0])
+                out_type.append(et)
+                out_from.append(ts)
+                last = et
+        state.update((last,))
+        if out_user:
+            yield pd.DataFrame(
+                {
+                    "user_id": out_user,
+                    "event_type": out_type,
+                    "valid_from": out_from,
+                }
+            )
+
+    return (
+        s.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            "user_id BIGINT, event_type STRING, valid_from TIMESTAMP",
+            "last_type STRING",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -167,6 +167,7 @@ def main(only: list[str] | None = None) -> None:
         "ts_level_shift": defs["ts_level_shift"].fn,
         "ts_holt_winters": defs["ts_holt_winters"].fn,
         "merge_scd2_intervals": defs["merge_scd2_intervals"].fn,
+        "stream_scd2_changes": defs["stream_scd2_changes"].fn,
         "dedup_segment_global": defs["dedup_segment_global"].fn,
         "corpus_dsir_weights": defs["corpus_dsir_weights"].fn,
         "corpus_epoch_shuffle": defs["corpus_epoch_shuffle"].fn,

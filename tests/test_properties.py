@@ -1919,3 +1919,41 @@ def test_scd2_intervals_partition_time_and_replay_history(spark):
                 prev = e["event_type"]
         assert [(r["event_type"], r["valid_from"]) for r in rows] == replay
         assert rows[0]["valid_from"] == evs[0]["ts"]
+
+
+def test_stream_scd2_changes_equal_batch_intervals(spark):
+    """Stream-batch twin equivalence: the streaming change rows must
+    be EXACTLY the batch op's (user_id, event_type, valid_from)
+    projection — same set, same cardinality per user — and replaying
+    the stream's change rows forward must reconstruct every batch
+    interval's open/closed structure (the upsert a warehouse sink
+    would apply).  This pins the cross-batch state handoff: a lost or
+    duplicated last_type at the micro-batch boundary shows up as a
+    missing or spurious change row."""
+    from powertrainstreaming_spark.operators.joins import (
+        merge_scd2_intervals,
+    )
+    from powertrainstreaming_spark.operators.streaming import (
+        stream_scd2_changes,
+    )
+
+    batch = merge_scd2_intervals(spark, SF).collect()
+    stream = stream_scd2_changes(spark, SF).collect()
+    b = {(r["user_id"], r["event_type"], r["valid_from"]) for r in batch}
+    s = {(r["user_id"], r["event_type"], r["valid_from"]) for r in stream}
+    assert s == b
+    assert len(stream) == len(batch)  # no duplicate emissions either
+    # Forward replay: per user, the k-th change's valid_from must be
+    # the batch op's k-th version boundary.
+    by_user_b: dict[int, list] = {}
+    for r in batch:
+        by_user_b.setdefault(r["user_id"], []).append(r)
+    by_user_s: dict[int, list] = {}
+    for r in stream:
+        by_user_s.setdefault(r["user_id"], []).append(r)
+    for uid, brs in by_user_b.items():
+        brs.sort(key=lambda r: r["version"])
+        srs = sorted(by_user_s[uid], key=lambda r: r["valid_from"])
+        assert [(r["event_type"], r["valid_from"]) for r in srs] == [
+            (r["event_type"], r["valid_from"]) for r in brs
+        ]

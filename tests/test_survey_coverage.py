@@ -193,6 +193,7 @@ def test_extras_are_intentional():
         "ts_level_shift",
         "ts_holt_winters",
         "merge_scd2_intervals",
+        "stream_scd2_changes",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
