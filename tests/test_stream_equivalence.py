@@ -250,3 +250,92 @@ def test_stateful_timeout_exact_boundary(spark, tmp_path):
     # withheld; only the expired control emits.
     assert [e[0] for e in engine] == [3], engine
     assert engine == oracle
+
+
+def test_scd2_state_survives_checkpoint_restart(spark, tmp_path):
+    """applyInPandasWithState state recovery across a query RESTART —
+    the property no other test covers (the n-way tests prove state
+    hands off between MICRO-BATCHES of one run; this proves the state
+    STORE itself is restored from the checkpoint when the stream is
+    stopped and resumed).  Two AvailableNow runs share one checkpoint:
+    the first processes two time-ordered slices, a third lands while
+    the stream is down, the restarted run processes only it.  If the
+    per-user last_type state were lost at the restart, every user
+    whose first slice-c event CONTINUES their prior type would emit a
+    spurious change row (and the fixture guarantees such users exist,
+    asserted below) — so exact equality with the batch lag-oracle over
+    all three slices proves the state came back."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from powertrainstreaming_spark.operators.joins import (
+        merge_scd2_intervals,
+    )
+    from powertrainstreaming_spark.operators.streaming import (
+        scd2_changes_transform,
+    )
+    from powertrainstreaming_spark.session import ensure_session_confs
+    from powertrainstreaming_spark.sources.loaders import (
+        events_ddl,
+        shim_events_ts,
+        table_path,
+    )
+
+    ensure_session_confs(spark)
+    table = pq.read_table(table_path(SF, "events"))
+    third = table.num_rows // 3
+    stage = str(tmp_path / "in")
+    os.makedirs(stage)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream() -> None:
+        sdf = shim_events_ts(
+            spark.readStream.schema(events_ddl(stage)).parquet(stage), stage
+        )
+        changes = scd2_changes_transform(sdf)
+
+        def write_batch(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            changes.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pq.write_table(table.slice(0, third), os.path.join(stage, "a.parquet"))
+    pq.write_table(table.slice(third, third), os.path.join(stage, "b.parquet"))
+    run_stream()
+    n_first = spark.read.parquet(out).count()
+
+    # Precondition for the test to have teeth: at least one user's
+    # first slice-c event continues their slice-b type (state loss
+    # would emit a spurious change for exactly these users).
+    rows = table.to_pylist()
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+    last_before = {}
+    for r in rows[: 2 * third]:
+        last_before[r["user_id"]] = r["event_type"]
+    first_after = {}
+    for r in rows[2 * third :]:
+        first_after.setdefault(r["user_id"], r["event_type"])
+    continuing = [
+        u for u, t in first_after.items() if last_before.get(u) == t
+    ]
+    assert continuing, "fixture has no boundary-continuing user"
+
+    pq.write_table(table.slice(2 * third), os.path.join(stage, "c.parquet"))
+    run_stream()
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > n_first  # the restart did process slice c
+    batch = merge_scd2_intervals(spark, SF).select(
+        "user_id", "event_type", "valid_from"
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert streamed.count() == len(s)  # no duplicate emissions either
