@@ -1305,14 +1305,18 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relative quality gate: keep the top share of each language by score
 
 _GATE_KEEP = 0.80  # keep the top 80% of each language
+# The same keep share as an EXACT integer fraction (4/5): the
+# threshold twin's target count must be integer arithmetic end-to-end
+# (the CLAUDE.md exact-τ rule — ceil(0.8·n) via floats evaluates
+# 0.7999…·n on some n and lands one rank short).
+_GATE_KEEP_NUM, _GATE_KEEP_DEN = 4, 5
+assert _GATE_KEEP_NUM / _GATE_KEEP_DEN == _GATE_KEEP
 _GATE_STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _GATE_STOP_SQL = ", ".join(f"'{w}'" for w in _GATE_STOPWORDS)
 
-
-@query(
-    "corpus_quality_gate",
-    oracle=f"""
-    WITH scored AS (
+# Shared scoring CTE — used verbatim by the percent_rank gate and its
+# threshold twin so the two oracles can never drift.
+_GATE_SCORED_CTE = f"""scored AS (
         SELECT doc_id, lang,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(string_split(text, ' '),
@@ -1322,7 +1326,29 @@ _GATE_STOP_SQL = ", ".join(f"'{w}'" for w in _GATE_STOPWORDS)
                                     t -> t IN ({_GATE_STOP_SQL}))) AS DOUBLE)
                    / len(string_split(text, ' ')) AS score
         FROM documents
-    ),
+    )"""
+
+
+def _gate_scored(docs: DataFrame) -> DataFrame:
+    """Map-only quality scoring pass — the Spark twin of
+    ``_GATE_SCORED_CTE`` (stopword-ratio score per document), shared by
+    the percent_rank gate and the threshold twin."""
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array([F.lit(w) for w in _GATE_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        n_stop.cast("bigint").alias("n_stop"),
+        (n_stop.cast("double") / F.size(toks)).alias("score"),
+    )
+
+
+@query(
+    "corpus_quality_gate",
+    oracle=f"""
+    WITH {_GATE_SCORED_CTE},
     ranked AS (
         SELECT *,
                percent_rank() OVER (PARTITION BY lang
@@ -1359,22 +1385,106 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and percent_rank = (rank−1)/(n−1) is the identical exact-int
     division in both engines.  No rounding anywhere.
     """
-    docs = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    stop_arr = F.array([F.lit(w) for w in _GATE_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        n_stop.cast("bigint").alias("n_stop"),
-        (n_stop.cast("double") / F.size(toks)).alias("score"),
-    )
+    scored = _gate_scored(load(spark, sf_dir, "documents"))
     w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") <= _GATE_KEEP)
     )
+
+
+def _threshold_gate(scored: DataFrame) -> DataFrame:
+    """The scale-safe gate core over any scored-shaped frame
+    (doc_id, lang, n_tokens, n_stop, score) — split out so property
+    tests can drive it with synthetic tie-heavy distributions.
+
+    Exact per-lang quantile WITHOUT a corpus sort: the score histogram
+    (one row per DISTINCT (lang, score) value) is value-bounded —
+    score is a ratio of two small ints, so its distinct-value count is
+    capped by the (n_stop, n_tokens) value space regardless of corpus
+    size — and the only Window in the plan sorts THAT histogram.  The
+    threshold is the score at the ceil(4n/5)-th rank from the top
+    (integer arithmetic, ties-kept policy), broadcast back as a
+    |langs|-row table for a map-side filter.
+    """
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("lang").orderBy(F.col("score").desc())
+        ),
+    ).withColumn("n_lang", F.sum("cnt").over(Window.partitionBy("lang")))
+    target = F.expr(
+        f"({_GATE_KEEP_NUM} * n_lang + {_GATE_KEEP_DEN - 1})"
+        f" div {_GATE_KEEP_DEN}"
+    )
+    thr = (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("lang")
+        .agg(F.max("score").alias("thr"))
+    )
+    return scored.join(F.broadcast(thr), "lang").filter(
+        F.col("score") >= F.col("thr")
+    ).select("doc_id", "lang", "n_tokens", "n_stop", "score", "thr")
+
+
+@query(
+    "corpus_quality_gate_threshold",
+    oracle=f"""
+    WITH {_GATE_SCORED_CTE},
+    hist AS (
+        SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY lang, score
+    ),
+    cum AS (
+        SELECT lang, score,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY score DESC) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang, MAX(score) AS thr
+        FROM cum
+        WHERE cum >= ({_GATE_KEEP_NUM} * n_lang + {_GATE_KEEP_DEN - 1})
+                     // {_GATE_KEEP_DEN}
+        GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.n_stop, s.score, t.thr
+    FROM scored s JOIN thr t ON s.lang = t.lang
+    WHERE s.score >= t.thr
+    """,
+    tier="P2",
+)
+def corpus_quality_gate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ``corpus_quality_gate``: same per-language
+    relative quality cut, formulated as exact-quantile threshold +
+    broadcast + map-side filter instead of a full per-lang percent_rank
+    sort — the production form the original's docstring names, now
+    registered (round-8 verdict task #1).
+
+    Why the twin exists: the percent_rank gate's window partitions by
+    lang, so its parallelism is capped at |languages| no matter the
+    cluster size, and at 100 TB a single language's partition is
+    terabytes through one task's sorter (the measured µs/row 12.1→35.2
+    ceiling at the 1000× probe tier).  This plan never sorts doc rows:
+    pass 1 aggregates the corpus to a per-(lang, score) histogram
+    (map-side combine; value-bounded cardinality — score is a ratio of
+    two small ints), sorts ONLY that histogram to find the exact
+    rank-⌈4n/5⌉ threshold per lang, and pass 2 re-scans the corpus with
+    a broadcast |langs|-row threshold table and a map-side filter.  Two
+    linear passes, no corpus-sized shuffle at all.
+
+    Semantics vs the percent_rank twin: the threshold gate keeps ALL
+    docs tied at the boundary score (ties-kept, ≥ ⌈0.8·n⌉ kept) where
+    percent_rank tie-breaks by doc_id (exactly ⌊0.8·(n−1)⌋+1 kept) —
+    identical kept-sets whenever no tie straddles the boundary;
+    tests/test_properties.py asserts the kept-set symmetric difference
+    is confined to boundary-score docs.  Target rank is INTEGER
+    arithmetic (⌈4n/5⌉ = (4n+4) div 5) per the exact-τ CLAUDE.md rule.
+    Output adds the per-lang threshold column (thr) — the artifact a
+    production gate persists — in place of per-doc percentile.
+    """
+    return _threshold_gate(_gate_scored(load(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -1589,10 +1699,10 @@ def corpus_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_BUCKETS = 3  # head / middle / tail
 
 
-@query(
-    "corpus_perplexity_buckets",
-    oracle=f"""
-    WITH tok AS (
+# Shared cross-entropy scoring CTEs — used verbatim by the ntile
+# bucketing op and its threshold-cuts twin so the two oracles can
+# never drift.
+_PPL_SCORED_CTES = """tok AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
         FROM documents
     ),
@@ -1613,7 +1723,39 @@ _PPL_BUCKETS = 3  # head / middle / tail
                      / CAST(SUM(tf.tf) AS DOUBLE), 6) AS ce
         FROM tf JOIN corpus c ON tf.token = c.token CROSS JOIN total t
         GROUP BY tf.doc_id, tf.lang
-    ),
+    )"""
+
+
+def _ppl_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM cross-entropy — the Spark twin of
+    ``_PPL_SCORED_CTES`` (doc_id, lang, n_tokens, ce), shared by the
+    ntile bucketing op and the threshold-cuts twin."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = corpus.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    tf = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    ln_p = F.log(
+        F.col("cnt").cast("double") / F.col("n_total").cast("double")
+    )
+    n = F.sum("tf").cast("bigint")
+    ce = -F.sum(F.col("tf").cast("double") * ln_p) / n.cast("double")
+    return (
+        tf.join(corpus, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(n.alias("n_tokens"), F.round(ce, 6).alias("ce"))
+    )
+
+
+@query(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+    WITH {_PPL_SCORED_CTES},
     bucketed AS (
         SELECT *, ntile({_PPL_BUCKETS}) OVER (
                    PARTITION BY lang ORDER BY ce, doc_id) AS bucket
@@ -1655,26 +1797,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from powertrainstreaming_spark.functions.exprs import money_avg
 
-    docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = corpus.agg(F.sum("cnt").cast("bigint").alias("n_total"))
-    tf = tok.groupBy("doc_id", "lang", "token").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    ln_p = F.log(
-        F.col("cnt").cast("double") / F.col("n_total").cast("double")
-    )
-    n = F.sum("tf").cast("bigint")
-    ce = -F.sum(F.col("tf").cast("double") * ln_p) / n.cast("double")
-    scored = (
-        tf.join(corpus, "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id", "lang")
-        .agg(n.alias("n_tokens"), F.round(ce, 6).alias("ce"))
-    )
+    scored = _ppl_scored(spark, sf_dir)
     w = Window.partitionBy("lang").orderBy("ce", "doc_id")
     return (
         scored.withColumn("bucket", F.ntile(_PPL_BUCKETS).over(w))
@@ -1687,3 +1810,118 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ce").alias("max_ce"),
         )
     )
+
+
+def _bucket_cuts(scored: DataFrame) -> DataFrame:
+    """The scale-safe tercile-assignment core over any scored-shaped
+    frame (doc_id, lang, n_tokens, ce) — split out so property tests
+    can drive it with synthetic tie-heavy distributions.
+
+    Exact per-lang ntile cut positions WITHOUT a corpus sort: the ce
+    histogram (one row per DISTINCT (lang, ce)) is value-bounded — ce
+    is rounded @6 over a bounded range, so its distinct-value count has
+    a fixed ceiling regardless of corpus size — and the only Window in
+    the plan sorts THAT histogram.  Cut values t_j = the ce at rank
+    ⌈j·n/3⌉ (integer arithmetic); docs bucket by two broadcast
+    comparisons, map-side.  Ties at a cut all land in the lower bucket
+    (ties-together policy) where ntile splits them by doc_id.
+    """
+    from powertrainstreaming_spark.functions.exprs import money_avg
+
+    hist = scored.groupBy("lang", "ce").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("lang").orderBy("ce"))
+    ).withColumn("n_lang", F.sum("cnt").over(Window.partitionBy("lang")))
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n_lang + 2) div 3"), F.col("ce"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n_lang + 2) div 3"), F.col("ce")
+            )
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ce") <= F.col("t1"), 1)
+        .when(F.col("ce") <= F.col("t2"), 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            money_avg("ce").alias("mean_ce"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+        )
+    )
+
+
+@query(
+    "corpus_perplexity_bucket_cuts",
+    oracle=f"""
+    WITH {_PPL_SCORED_CTES},
+    hist AS (
+        SELECT lang, ce, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY lang, ce
+    ),
+    cum AS (
+        SELECT lang, ce,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY ce) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+        FROM hist
+    ),
+    cuts AS (
+        SELECT lang,
+               MIN(CASE WHEN cum >= (n_lang + 2) // 3 THEN ce END) AS t1,
+               MIN(CASE WHEN cum >= (2 * n_lang + 2) // 3 THEN ce END) AS t2
+        FROM cum GROUP BY lang
+    ),
+    bucketed AS (
+        SELECT s.*, CASE WHEN s.ce <= k.t1 THEN 1
+                         WHEN s.ce <= k.t2 THEN 2
+                         ELSE 3 END AS bucket
+        FROM scored s JOIN cuts k ON s.lang = k.lang
+    )
+    SELECT lang, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_ce,
+           MIN(ce) AS min_ce, MAX(ce) AS max_ce
+    FROM bucketed
+    GROUP BY lang, bucket
+    """,
+    tier="P2",
+)
+def corpus_perplexity_bucket_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ``corpus_perplexity_buckets``: the same
+    CCNet head/middle/tail readout, formulated as exact-quantile cut
+    values + broadcast + map-side bucket assignment instead of a full
+    per-lang ntile sort (round-8 verdict task #1 — and the form CCNet
+    itself deploys: per-lang perplexity THRESHOLDS, Wenzek et al. 2020
+    §4.3, not a global sort of the corpus).
+
+    Why the twin exists: ntile's window partitions by lang, capping
+    parallelism at |languages| and pushing a terabyte-scale language
+    through one task's sorter at 100 TB (the measured 40× super-linear
+    100× probe row).  This plan sorts only the per-(lang, ce) histogram
+    — value-bounded at ≤ range/1e-6 rows per lang since ce is rounded
+    @6 over a bounded range, and in practice ~|distinct ce| ≪ |docs| —
+    then assigns buckets with two broadcast scalar comparisons per doc,
+    map-side, and finishes with the same |langs|×3-row rollup.
+
+    Semantics vs the ntile twin: cut ranks are the identical ntile
+    positions ⌈j·n/3⌉ (INTEGER arithmetic per the exact-τ rule), but a
+    ce-tie group straddling a cut lands together in the lower bucket
+    where ntile splits it by doc_id — identical outputs whenever no tie
+    straddles a cut; tests/test_properties.py bounds the per-bucket
+    count deviation by the straddling tie-group size on synthetic
+    tie-heavy data.
+    """
+    return _bucket_cuts(_ppl_scored(spark, sf_dir))

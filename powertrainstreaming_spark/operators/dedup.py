@@ -199,6 +199,136 @@ def dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unbounded members array in a single aggregation row.
 _JAC_COLLAPSE_MAX_MULT = 10_000_000
 
+# τ as an EXACT integer fraction (19/20): every candidate-side bound
+# (size-ratio prune, prefix length) must be integer arithmetic — the
+# CLAUDE.md exact-τ rule.  Found latent here in round 9: the float form
+# ``na >= 0.95 * nb`` evaluates 0.95 as 0.95000000000000001…, so a TRUE
+# pair with na exactly 19·nb/20 (e.g. 95-token set fully inside a
+# 100-token set's overlap budget, J = 0.95 exactly) was rejected at
+# candidate time — same failure class as round 8's containment prefix
+# bound, caught by inspection this time and pinned by a regression
+# property test (tests/test_properties.py).
+_JAC_TAU_NUM, _JAC_TAU_DEN = 19, 20
+assert _JAC_TAU_NUM / _JAC_TAU_DEN == _JAC_TAU
+
+
+def _collapse_sets(toks: DataFrame, label: str) -> DataFrame:
+    """EXACT-DUPLICATE COLLAPSE (the CLAUDE.md house rule): group
+    documents by their exact token-code SET (sorted packed-int64
+    array) so everything downstream — banding, candidate joins,
+    verification — runs once per DISTINCT set, and member pairs expand
+    at the end.  Returns (codes, rep, members, m), localCheckpointed
+    because every consumer reads it 3+ times (the PageRank pattern).
+    Shared by _tau_pairs and dedup_near_minhash; the multiplicity cap
+    fails loudly rather than building an unbounded members array.
+    """
+    code = (
+        poly_hash("token") * F.lit(2_147_483_648)
+        + poly_hash("token", POLY_B2, POLY_M2)
+    ).alias("code")
+    sets_ = (
+        toks.select("doc_id", code)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("code")).alias("codes"))
+    )
+    return (
+        sets_.groupBy("codes")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .filter(
+            F.assert_true(
+                F.col("m") <= F.lit(_JAC_COLLAPSE_MAX_MULT),
+                F.concat(
+                    F.lit(
+                        f"{label} duplicate-collapse cap exceeded: one "
+                        "token set has multiplicity "
+                    ),
+                    F.col("m").cast("string"),
+                    F.lit(f" > {_JAC_COLLAPSE_MAX_MULT}"),
+                ),
+            ).isNull()
+        )
+        # Materialize the collapse ONCE (PageRank's localCheckpoint
+        # pattern): grp feeds candidate generation (several self-derived
+        # reads), both verify sides, and the within-group expansion —
+        # without a checkpoint the tokenize + two shuffled aggregations
+        # above re-execute per consumer ([MEASURED round 7] 32.1 s →
+        # the checkpointed run at the 10× tier; ~6 redundant upstream
+        # executions eliminated).
+        .localCheckpoint()
+    )
+
+
+def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
+    """Exact-Jaccard verify of representative candidate pairs + member
+    expansion — the scalar-emitting back half shared by _tau_pairs and
+    dedup_near_minhash (the sim_containment_join discipline, round-8
+    verdict task #2).
+
+    The packed code arrays are re-attached by rep id as SHUFFLE-HASH
+    joins (an SMJ would sort pair rows widened by the token arrays —
+    the rp_pairs spill lesson), and the select PROJECTS THE ARRAYS
+    AWAY in the same codegen stage the second join runs in: everything
+    downstream of the verify — the τ filter, member expansion,
+    re-orientation — carries scalars plus the (small, true-output)
+    member id lists only.  Cross-group member pairs inherit their
+    representative pair's exact Jaccard (J depends only on the two
+    sets); within-group pairs are identical sets, emitted at literal
+    1.0 — the value the oracle's arithmetic produces (i = na = nb ⇒
+    round(i/(na+nb−i), 6) = 1.0).
+    """
+    ga = grp.select(
+        F.col("rep").alias("doc_a"),
+        F.col("codes").alias("codes_a"),
+        F.col("members").alias("members_a"),
+    )
+    gb = grp.select(
+        F.col("rep").alias("doc_b"),
+        F.col("codes").alias("codes_b"),
+        F.col("members").alias("members_b"),
+    )
+    i = F.size(F.array_intersect("codes_a", "codes_b"))
+    cross = (
+        cands.join(ga.hint("shuffle_hash"), "doc_a")
+        .join(gb.hint("shuffle_hash"), "doc_b")
+        .select(
+            "members_a",
+            "members_b",
+            F.round(
+                i.cast("double")
+                / (F.size("codes_a") + F.size("codes_b") - i),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JAC_TAU)
+        .select(
+            F.explode("members_a").alias("ma"),
+            F.col("members_b").alias("mbs"),
+            "jaccard",
+        )
+        .select("ma", F.explode("mbs").alias("mb"), "jaccard")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        grp.filter(F.col("m") >= 2)
+        .select(F.explode("members").alias("ma"), "members")
+        .select("ma", F.explode("members").alias("mb"))
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            F.col("ma").alias("doc_a"),
+            F.col("mb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
+
 
 def _tau_pairs(toks: DataFrame) -> DataFrame:
     """All (doc_a < doc_b, jaccard) pairs with exact token-set Jaccard
@@ -261,44 +391,7 @@ def _tau_pairs(toks: DataFrame) -> DataFrame:
       per-pair pre-verify payload; revisit only if a corpus shows
       candidate:true ratios far above the measured ~11:1 … ~580:1.
     """
-    code = (
-        poly_hash("token") * F.lit(2_147_483_648)
-        + poly_hash("token", POLY_B2, POLY_M2)
-    ).alias("code")
-    sets_ = (
-        toks.select("doc_id", code)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("code")).alias("codes"))
-    )
-    grp = (
-        sets_.groupBy("codes")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.collect_list("doc_id").alias("members"),
-            F.count(F.lit(1)).alias("m"),
-        )
-        .filter(
-            F.assert_true(
-                F.col("m") <= F.lit(_JAC_COLLAPSE_MAX_MULT),
-                F.concat(
-                    F.lit(
-                        "jaccard duplicate-collapse cap exceeded: one "
-                        "token set has multiplicity "
-                    ),
-                    F.col("m").cast("string"),
-                    F.lit(f" > {_JAC_COLLAPSE_MAX_MULT}"),
-                ),
-            ).isNull()
-        )
-        # Materialize the collapse ONCE (PageRank's localCheckpoint
-        # pattern): grp feeds the prefix join (3 self-derived reads),
-        # both verify sides, and the within-group expansion — without
-        # a checkpoint the tokenize + two shuffled aggregations above
-        # re-execute per consumer ([MEASURED round 7] 32.1 s → the
-        # checkpointed run at the 10× tier; ~6 redundant upstream
-        # executions eliminated).
-        .localCheckpoint()
-    )
+    grp = _collapse_sets(toks, "jaccard")
     rep_toks = grp.select(
         F.col("rep").alias("doc_id"), F.explode("codes").alias("token")
     )
@@ -323,7 +416,15 @@ def _tau_pairs(toks: DataFrame) -> DataFrame:
             ),
         )
     )
-    prefix_len = F.floor((1.0 - _JAC_TAU) * F.col("n")) + 1
+    # Exact-int prefix bound: misses <= n - ceil(tau*n) = (n*(DEN-NUM))
+    # div DEN, so that plus one prefix tokens guarantee a shared one.
+    # (The float form floor((1-tau)*n)+1 happened to round UP here —
+    # 1.0-0.95 = 0.0500…044 in double — but the integer form is exact
+    # by construction, per the CLAUDE.md rule.)
+    prefix_len = (
+        F.col("n") * (_JAC_TAU_DEN - _JAC_TAU_NUM)
+    ).cast("bigint") / F.lit(_JAC_TAU_DEN)
+    prefix_len = F.floor(prefix_len).cast("bigint") + 1
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
         "doc_id", "token", "n"
     )
@@ -340,62 +441,15 @@ def _tau_pairs(toks: DataFrame) -> DataFrame:
             pb,
             (F.col("token") == F.col("token_b"))
             & (F.col("doc_a") < F.col("doc_b"))
-            # size-ratio filter: J >= tau forces tau*max(na,nb) <= min.
-            & (F.col("na") >= _JAC_TAU * F.col("nb"))
-            & (F.col("nb") >= _JAC_TAU * F.col("na")),
+            # size-ratio filter: J >= tau forces tau*max(na,nb) <= min
+            # — EXACT-INT form (see _JAC_TAU_NUM note above).
+            & (F.col("na") * _JAC_TAU_DEN >= F.col("nb") * _JAC_TAU_NUM)
+            & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM),
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ga = grp.select(
-        F.col("rep").alias("doc_a"),
-        F.col("codes").alias("codes_a"),
-        F.col("members").alias("members_a"),
-    )
-    gb = grp.select(
-        F.col("rep").alias("doc_b"),
-        F.col("codes").alias("codes_b"),
-        F.col("members").alias("members_b"),
-    )
-    i = F.size(F.array_intersect("codes_a", "codes_b"))
-    cross = (
-        cands.join(ga.hint("shuffle_hash"), "doc_a")
-        .join(gb.hint("shuffle_hash"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                i.cast("double")
-                / (F.size("codes_a") + F.size("codes_b") - i),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= _JAC_TAU)
-        .select(
-            F.explode("members_a").alias("ma"),
-            F.col("members_b").alias("mbs"),
-            "jaccard",
-        )
-        .select("ma", F.explode("mbs").alias("mb"), "jaccard")
-        .select(
-            F.least("ma", "mb").alias("doc_a"),
-            F.greatest("ma", "mb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # identical sets: i = na = nb, so round(i/(na+nb-i), 6) = 1.0 —
-    # emitted as the literal the oracle's arithmetic produces.
-    within = (
-        grp.filter(F.col("m") >= 2)
-        .select(F.explode("members").alias("ma"), "members")
-        .select("ma", F.explode("members").alias("mb"))
-        .filter(F.col("ma") < F.col("mb"))
-        .select(
-            F.col("ma").alias("doc_a"),
-            F.col("mb").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionAll(within)
+    return _verify_expand(cands, grp)
 
 
 _MINHASH_K = 32  # signature length
@@ -500,41 +554,77 @@ _MINHASH_ORACLE = f"""
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding, exact-verified.
 
-    Pipeline: distinct tokens → k=32 seeded min-hashes per doc →
-    4 bands of 8 rows → band-signature equi-join produces candidates →
-    exact Jaccard verification keeps pairs ≥ τ.  Token hashing is the
-    cross-engine-exact polynomial hash (exprs.poly_hash) with the
-    seed family h_i(t) = ((2i+1)·H(t) + i) mod p, so the ENTIRE LSH
-    pipeline — signatures, band buckets, candidates, verified pairs —
-    is replicated bit-for-bit by the DuckDB oracle (full value-hash
-    driver check; swap xxhash64 in where verifiability isn't needed).
+    Pipeline (reworked round 9 to the sim_containment_join discipline
+    — the round-8 verdict's task #2): (1) EXACT-DUPLICATE COLLAPSE
+    first (_collapse_sets — the CLAUDE.md house rule; m verbatim
+    clones would otherwise amplify every band bucket m²-fold and every
+    verify shipment m²-fold); (2) banded MinHash computed ONCE PER
+    DISTINCT SET from the stored code arrays (h = code div 2³¹
+    recovers the primary poly-hash bit-exactly — no re-tokenization);
+    (3) band-signature equi-join over representatives with the
+    EXACT-INT size-ratio prune in the join condition (J ≥ τ forces
+    τ·max(na,nb) ≤ min — lossless for the verified output, kills
+    length-incompatible LSH collisions before any array ships);
+    (4) exact-Jaccard verify once per representative pair, projecting
+    the packed arrays away in the verify stage itself and emitting
+    SCALARS (_verify_expand); (5) member expansion at the end,
+    within-group pairs at literal 1.0.
+
+    Collapse is OUTPUT-INVARIANT: identical sets produce identical
+    signatures, hence identical band buckets and identical verified
+    Jaccard, so the oracle keeps replaying the UNCOLLAPSED per-doc
+    pipeline and the equivalence is re-proven by hash at every scale.
+    Token hashing is the cross-engine-exact polynomial hash
+    (exprs.poly_hash) with the seed family h_i(t) = ((2i+1)·H(t) + i)
+    mod p, so the ENTIRE LSH pipeline — signatures, band buckets,
+    candidates, verified pairs — is replicated bit-for-bit by DuckDB.
     tests/test_properties.py additionally asserts every emitted pair
     is a true ≥ τ pair and that recall vs dedup_near_exact is high.
 
     This is THE 100 TB near-dup design: no all-pairs stage exists —
     candidates come only from exact band matches (an equi-join whose
-    key is the band signature), and Σ|bucket|² is bounded by the LSH
-    collision probability rather than corpus size.
+    key is the band signature), Σ|bucket|² is bounded by the LSH
+    collision probability over DISTINCT sets rather than corpus size,
+    and the verify-stage shuffle — the resource that killed the 1000×
+    single-host probe at ~240 GB (docs/SCALE.md) — now ships arrays
+    once per distinct-set candidate pair that also passes the size
+    prune, with everything downstream scalar-only.
     """
     toks = _doc_tokens(spark, sf_dir)
-    sigs = _minhash_band_sigs(toks)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    sb = sigs.select(
+    grp = _collapse_sets(toks, "minhash")
+    rep_h = grp.select(
+        F.col("rep").alias("doc_id"), F.explode("codes").alias("c")
+    ).select("doc_id", F.expr("c div 2147483648").alias("h"))
+    sigs = _band_sigs_from_h(rep_h)
+    sizes = grp.select(
+        F.col("rep").alias("doc_id"), F.size("codes").alias("n")
+    )
+    sa = sigs.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), "band", "sig", F.col("n").alias("na")
+    )
+    sb = sigs.join(sizes, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
+        F.col("n").alias("nb"),
     )
     candidates = (
         sa.join(
             sb,
             (F.col("band") == F.col("band_b"))
             & (F.col("sig") == F.col("sig_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("doc_a") < F.col("doc_b"))
+            # size-ratio prune, EXACT-INT (the _JAC_TAU_NUM note):
+            # J >= tau forces tau*max <= min; verified output is
+            # unchanged, the array-shipping verify gets strictly fewer
+            # candidate pairs.
+            & (F.col("na") * _JAC_TAU_DEN >= F.col("nb") * _JAC_TAU_NUM)
+            & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM),
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(toks, candidates).filter(F.col("jaccard") >= _JAC_TAU)
+    return _verify_expand(candidates, grp)
 
 
 _EMB_TAU = 0.3  # ~p99 of the within-label cosine distribution [MEASURED]

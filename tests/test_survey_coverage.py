@@ -194,6 +194,10 @@ def test_extras_are_intentional():
         "ts_holt_winters",
         "merge_scd2_intervals",
         "stream_scd2_changes",
+        # round 9
+        "corpus_quality_gate_threshold",
+        "corpus_perplexity_bucket_cuts",
+        "text_bpe_encode_docs",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
