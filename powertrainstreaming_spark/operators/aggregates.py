@@ -9,7 +9,7 @@ carries one row per (partition, group), not per input row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.functions.exprs import (
@@ -923,4 +923,82 @@ def agg_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_cnt",
             (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
         )
+    )
+
+
+# Exact rank-based quantiles WITHOUT a sort: (p_num, p_den) exact
+# integer fractions (the CLAUDE.md exact-τ rule — float p·n misses the
+# target rank at exact multiples).
+_QH_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20))
+
+
+@query(
+    "agg_quantile_histogram",
+    oracle=f"""
+    WITH hist AS (
+        SELECT l_returnflag, l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    cum AS (
+        SELECT l_returnflag, v,
+               SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+               SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        FROM hist
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+           {", ".join(
+               f"MIN(CASE WHEN cum >= ({num} * n + {den} - 1) // {den} "
+               f"THEN v END) AS {name}"
+               for name, num, den in _QH_QUANTILES
+           )}
+    FROM cum
+    GROUP BY l_returnflag
+    """,
+    tier="P2",
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rank-based per-group quantiles computed from the value
+    HISTOGRAM instead of a per-group sort — the scale-safe twin of
+    ``agg_median_percentile`` (whose exact percentile() buffers every
+    group's values in one task), and the same pattern the round-9
+    per-lang gates register: aggregate the corpus to (group, value)
+    counts — map-side combine, value-bounded cardinality (l_quantity
+    has 50 distinct values, so each group's histogram is ≤ 50 rows no
+    matter how many billion lineitems flow in) — then read quantiles
+    off the cumulative counts at integer target ranks.
+
+    Semantics: type-1 (lower/discrete) quantile — the smallest value
+    whose cumulative count reaches ⌈p·n⌉ — which is exact and
+    engine-agnostic where interpolating quantiles (percentile_cont)
+    depend on float interpolation arithmetic.  Target ranks are
+    integer arithmetic (⌈(a/b)·n⌉ = (a·n + b − 1) div b, the exact-τ
+    rule).  Everything emitted is an exact column value or bigint —
+    zero float arithmetic, zero rounding.
+
+    At 100 TB: one linear shuffle to the histogram, a window over ≤ 50
+    rows per group, a |groups|-row output.  percentile()'s
+    sort-and-buffer needs memory per (group, values); this needs
+    memory per (group, DISTINCT values) — the difference between a
+    quantity column (50 values) and an unsorted terabyte.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("v")
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({num} * n + {den - 1}) div {den}"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for name, num, den in _QH_QUANTILES
+    ]
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"), *qcols
     )

@@ -1393,6 +1393,28 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gate_thresholds(scored: DataFrame) -> DataFrame:
+    """Per-lang exact rank-⌈4n/5⌉ score threshold from the value
+    histogram — the |langs|-row model table the threshold gate (batch)
+    and stream_quality_gate (stream-static join) both broadcast."""
+    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("lang").orderBy(F.col("score").desc())
+        ),
+    ).withColumn("n_lang", F.sum("cnt").over(Window.partitionBy("lang")))
+    target = F.expr(
+        f"({_GATE_KEEP_NUM} * n_lang + {_GATE_KEEP_DEN - 1})"
+        f" div {_GATE_KEEP_DEN}"
+    )
+    return (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("lang")
+        .agg(F.max("score").alias("thr"))
+    )
+
+
 def _threshold_gate(scored: DataFrame) -> DataFrame:
     """The scale-safe gate core over any scored-shaped frame
     (doc_id, lang, n_tokens, n_stop, score) — split out so property
@@ -1407,30 +1429,16 @@ def _threshold_gate(scored: DataFrame) -> DataFrame:
     (integer arithmetic, ties-kept policy), broadcast back as a
     |langs|-row table for a map-side filter.
     """
-    hist = scored.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.partitionBy("lang").orderBy(F.col("score").desc())
-        ),
-    ).withColumn("n_lang", F.sum("cnt").over(Window.partitionBy("lang")))
-    target = F.expr(
-        f"({_GATE_KEEP_NUM} * n_lang + {_GATE_KEEP_DEN - 1})"
-        f" div {_GATE_KEEP_DEN}"
-    )
-    thr = (
-        cum.filter(F.col("cum") >= target)
-        .groupBy("lang")
-        .agg(F.max("score").alias("thr"))
-    )
+    thr = _gate_thresholds(scored)
     return scored.join(F.broadcast(thr), "lang").filter(
         F.col("score") >= F.col("thr")
     ).select("doc_id", "lang", "n_tokens", "n_stop", "score", "thr")
 
 
-@query(
-    "corpus_quality_gate_threshold",
-    oracle=f"""
+# Shared by the batch threshold gate and its streaming twin
+# (stream_quality_gate replays the same map-side gate over a file
+# stream — identical output set, so one oracle serves both).
+_GATE_THRESHOLD_ORACLE = f"""
     WITH {_GATE_SCORED_CTE},
     hist AS (
         SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1452,7 +1460,12 @@ def _threshold_gate(scored: DataFrame) -> DataFrame:
     SELECT s.doc_id, s.lang, s.n_tokens, s.n_stop, s.score, t.thr
     FROM scored s JOIN thr t ON s.lang = t.lang
     WHERE s.score >= t.thr
-    """,
+    """
+
+
+@query(
+    "corpus_quality_gate_threshold",
+    oracle=_GATE_THRESHOLD_ORACLE,
     tier="P2",
 )
 def corpus_quality_gate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:

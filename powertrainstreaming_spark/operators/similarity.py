@@ -694,6 +694,52 @@ def _pq_train(
     return cents
 
 
+def _pq_codes(
+    spark: SparkSession,
+    subs: DataFrame,
+    cents: list[tuple[int, int, list[float]]],
+) -> DataFrame:
+    """(vec_id, codes) — assign every subvector to its nearest
+    codebook centroid and pack the M codes into one array column (the
+    persisted index row).  Shared by the flat-PQ op and the IVF-PQ
+    composition."""
+    cents_df = spark.createDataFrame(
+        [(s, c, v, sum(x * x for x in v) / 2.0) for s, c, v in cents],
+        "sub_id int, cent_id int, c_emb array<double>, c_half_norm2 double",
+    )
+    return (
+        _pq_assign(subs, cents_df)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+
+
+def _pq_adc_expr(
+    probe: list[float], cents: list[tuple[int, int, list[float]]]
+) -> Column:
+    """The ADC score as an UNROLLED sum of M element_at lookups into
+    driver-inlined distance-table array literals (scalar terms per the
+    CLAUDE.md lambda rule): dtab[m][k] = q_m · c_{m,k}, so
+    Σ_m dtab[m][code_m] reconstructs q·x (or q·r for residual
+    codebooks) up to quantization error — map-only, no join."""
+    dim_per = len(probe) // _PQ_M
+    dtab: dict[tuple[int, int], float] = {}
+    for s, c, v in cents:
+        q_m = probe[s * dim_per : (s + 1) * dim_per]
+        dtab[(s, c)] = sum(a * b for a, b in zip(q_m, v))
+    adc = None
+    for m in range(_PQ_M):
+        arr = F.array(*[F.lit(dtab[(m, k)]) for k in range(_PQ_K)])
+        term = F.element_at(arr, F.col("codes").getItem(m) + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
 @query("sim_pq_adc", oracle=None, tier="P2")
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN over a PRODUCT-QUANTIZED index with asymmetric distance
@@ -725,40 +771,14 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     subs = _pq_subvectors(emb).localCheckpoint()  # feeds every round
     cents = _pq_train(spark, subs)
-    cents_df = spark.createDataFrame(
-        [
-            (s, c, v, sum(x * x for x in v) / 2.0)
-            for s, c, v in cents
-        ],
-        "sub_id int, cent_id int, c_emb array<double>, c_half_norm2 double",
-    )
-    codes = (
-        _pq_assign(subs, cents_df)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-                lambda s: s.getField("code"),
-            ).alias("codes")
-        )
-    )
-
+    codes = _pq_codes(spark, subs, cents)
     probe = [
         float(x)
         for x in emb.filter(F.col("vec_id") == _PROBE_VEC_ID)
         .select("embedding")
         .first()[0]
     ]
-    dim_per = len(probe) // _PQ_M
-    dtab: dict[tuple[int, int], float] = {}
-    for s, c, v in cents:
-        q_m = probe[s * dim_per : (s + 1) * dim_per]
-        dtab[(s, c)] = sum(a * b for a, b in zip(q_m, v))
-    adc = None
-    for m in range(_PQ_M):
-        arr = F.array(*[F.lit(dtab[(m, k)]) for k in range(_PQ_K)])
-        term = F.element_at(arr, F.col("codes").getItem(m) + 1)
-        adc = term if adc is None else adc + term
+    adc = _pq_adc_expr(probe, cents)
     cands = (
         codes.filter(F.col("vec_id") != _PROBE_VEC_ID)
         .select("vec_id", adc.alias("adc"))
@@ -770,6 +790,117 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
+            sim_round(F.col("adc")).alias("adc_sim"),
+            sim_round(
+                dot_f("embedding", F.array(*[F.lit(x) for x in probe]))
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query("sim_knn_ivf_pq", oracle=None, tier="P2")
+def sim_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN index — IVF coarse quantizer over
+    PQ-compressed RESIDUALS (the FAISS IVFPQ layout, Jégou et al. 2011
+    §IV): the k-means cells give partition-pruned scan scope, the PQ
+    codes give 64×-compressed in-cell scoring, and the residual trick
+    (quantize x − c_cell, not x) concentrates each subquantizer on the
+    within-cell variance, which is why IVFPQ beats flat PQ at equal
+    code budget.
+
+    Index build (once per corpus): coarse k-means (the shared
+    ``_train_centroids``), assign every vector a cell, subtract its
+    centroid (one broadcast join + zip_with per corpus row — a
+    vector-width column op, not pair work), then train the shared
+    residual codebooks and pack 4-bit codes (the shared ``_pq_train``
+    / ``_pq_codes``).  The persisted row is (vec_id, cell, codes) —
+    4 bytes of code + a cell id per 256-byte vector.
+
+    Query (all decisions driver-side from the model-sized codebooks):
+    rank cells by q·c, probe the top {_KM_NPROBE}; the inner-product
+    decomposition q·x = q·c_cell + q·r makes the ADC table
+    CELL-INDEPENDENT (dtab[m][k] = q_m · cres_{{m,k}} — one table for
+    every probed cell, inlined as literals) and the cell term a
+    per-cell CONSTANT (a {_KM_NPROBE}-arm CASE of literals).  The scan
+    is then: partition-prune to probed cells, map-only codegen ADC
+    over codes, top-{_PQ_RERANK} pool, exact rerank of the pool's full
+    vectors, top-10.  No join, no shuffle at query time beyond the
+    top-k.  At 100 TB: cell = partition key prunes ~(k−nprobe)/k of
+    the corpus at the storage layer; the in-cell scan reads 4-byte
+    codes, not vectors — the two savings MULTIPLY, which is the whole
+    point of the composition.
+
+    Rows-only t2 check (two iterative k-means trainings); recall@10 vs
+    bruteforce, candidate-confinement-to-probed-cells, and determinism
+    are property-tested in tests/test_properties.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = _train_centroids(spark, emb)
+    coarse_df = spark.createDataFrame(
+        coarse, "cent_id int, c_emb array<double>"
+    )
+    cells = _assign_cells(emb, coarse_df)
+    resid = (
+        cells.join(
+            F.broadcast(
+                coarse_df.select(
+                    F.col("cent_id").alias("cell"),
+                    F.col("c_emb").alias("c_emb"),
+                )
+            ),
+            "cell",
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding", "c_emb", lambda a, b: a - b
+            ).alias("embedding"),
+        )
+    )
+    subs = _pq_subvectors(resid).localCheckpoint()  # feeds every round
+    cents = _pq_train(spark, subs)
+    codes = _pq_codes(spark, subs, cents).join(
+        cells.select("vec_id", "cell"), "vec_id"
+    )
+
+    probe = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _PROBE_VEC_ID)
+        .select("embedding")
+        .first()[0]
+    ]
+    ranked = sorted(
+        coarse,
+        key=lambda c: (-sum(a * b for a, b in zip(c[1], probe)), c[0]),
+    )
+    probed = ranked[:_KM_NPROBE]
+    cell_term = None
+    for cid, cvec in probed:
+        qc = F.lit(sum(a * b for a, b in zip(probe, cvec)))
+        cell_term = (
+            F.when(F.col("cell") == cid, qc)
+            if cell_term is None
+            else cell_term.when(F.col("cell") == cid, qc)
+        )
+    adc = cell_term + _pq_adc_expr(probe, cents)
+    cands = (
+        codes.filter(
+            F.col("cell").isin([cid for cid, _ in probed])
+            & (F.col("vec_id") != _PROBE_VEC_ID)
+        )
+        .select("vec_id", "cell", adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(_PQ_RERANK)
+    )
+    return (
+        cands.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
             sim_round(F.col("adc")).alias("adc_sim"),
             sim_round(
                 dot_f("embedding", F.array(*[F.lit(x) for x in probe]))

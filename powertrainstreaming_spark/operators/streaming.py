@@ -403,7 +403,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API choice: Spark 4's transformWithStateInPandas supersedes this
     API upstream, but its Python driver worker needs google.protobuf
-    (probed in-session, re-confirmed rounds 6, 7 AND 8 —
+    (probed in-session, re-confirmed rounds 6, 7, 8 AND 9 —
     google.protobuf still absent:
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
     google.protobuf), which this offline container lacks —
@@ -932,3 +932,57 @@ def scd2_changes_transform(s: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _gate_threshold_oracle() -> str:
+    from powertrainstreaming_spark.operators.corpus import (
+        _GATE_THRESHOLD_ORACLE,
+    )
+
+    return _GATE_THRESHOLD_ORACLE
+
+
+@query("stream_quality_gate", oracle=_gate_threshold_oracle(), tier="P2")
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-language quality gate: the THRESHOLD form of
+    ``corpus_quality_gate_threshold`` deployed online — thresholds are
+    fit OFFLINE from the batch corpus (the |langs|-row exact-quantile
+    table _gate_thresholds computes), then a document file stream is
+    scored map-only and gated by a stream-static broadcast join as
+    batches land.  This is the production topology for quality
+    filtering a live crawl: the model (thresholds) refreshes on a
+    batch cadence; the stream path is STATELESS — score, one broadcast
+    lookup, filter — so it has zero streaming state, no watermark, and
+    per-batch latency independent of history (contrast the three
+    stateful twins: segment-dedup's content-proportional index, CMS's
+    fixed 2048 cells, SCD2's per-entity row — this op completes the
+    state-design spectrum at exactly ZERO).
+
+    Determinism: scoring and gating are per-row arithmetic on exact
+    ints, so the emitted SET equals the batch threshold gate's output
+    under ANY batch split — the op therefore carries the batch twin's
+    FULL SQL oracle (shared string, hash-checked at both fixture
+    scales like every batch op), and
+    tests/test_stream_equivalence.py additionally pins the stream and
+    batch plans to each other value-for-value at fixture scale.
+    """
+    from powertrainstreaming_spark.operators.corpus import (
+        _gate_scored,
+        _gate_thresholds,
+    )
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    thr = _gate_thresholds(_gate_scored(load(spark, sf_dir, "documents")))
+    stage = _stage_documents_halves(sf_dir)
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    gated = (
+        _gate_scored(sdf)
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "lang", "n_tokens", "n_stop", "score", "thr")
+    )
+    return run_bounded(gated, "append")

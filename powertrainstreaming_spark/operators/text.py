@@ -358,10 +358,10 @@ def _lang_rate_cols(prefix: str) -> list[str]:
     return [f"{prefix}{lang}" for lang in _LANGS]
 
 
-@query(
-    "text_lang_id",
-    oracle=f"""
-    WITH toks AS (
+# Shared lang-ID CTE chain + argmax CASE — used verbatim by the
+# classifier op and the confusion-matrix op so the two oracles can
+# never drift.
+_LANG_ID_CTES = f"""toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents),
     labeled AS (
@@ -390,9 +390,9 @@ def _lang_rate_cols(prefix: str) -> list[str]:
             for lang in _LANGS
         )}
         FROM toks k JOIN profile p ON k.token = p.token
-        GROUP BY k.doc_id)
-    SELECT doc_id, {", ".join(f"s_{lang}" for lang in _LANGS)},
-           CASE
+        GROUP BY k.doc_id)"""
+
+_LANG_PRED_CASE = f"""CASE
            {" ".join(
                "WHEN " + " AND ".join(
                    f"s_{lang} >= s_{other}"
@@ -400,7 +400,15 @@ def _lang_rate_cols(prefix: str) -> list[str]:
                ) + f" THEN '{lang}'"
                for lang in _LANGS
            )}
-           END AS predicted_lang
+           END"""
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH {_LANG_ID_CTES}
+    SELECT doc_id, {", ".join(f"s_{lang}" for lang in _LANGS)},
+           {_LANG_PRED_CASE} AS predicted_lang
     FROM scored
     """,
     tier="P2",
@@ -1848,4 +1856,205 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _PMI_K)
         .select("lang", "w1", "w2", "c12", "pmi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-grams + per-document novelty (the substring-
+# level dedup signals of Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better" — the repeated-span census a substring
+# dedup pass is built on, and the memorization-risk readout per doc)
+
+_SHINGLE_W = 8  # tokens per sliding shingle
+
+_SHINGLE_CTES = f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               array_to_string(t[i:i + {_SHINGLE_W - 1}], ' ') AS shingle
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - {_SHINGLE_W - 1}))
+                         AS i
+              FROM toks
+              WHERE len(t) >= {_SHINGLE_W})
+    )"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — every SLIDING {_SHINGLE_W}-token window of
+    every document (contrast dedup_segment_global's disjoint fixed
+    segments: sliding windows catch a repeated span at ANY alignment,
+    which is why substring dedup uses them).  The Spark twin of
+    ``_SHINGLE_CTES``."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - "
+                f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
+                f" i, {_SHINGLE_W}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+
+
+@query(
+    "text_repeated_ngrams",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    per_doc AS (
+        SELECT shingle, doc_id, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM sh GROUP BY shingle, doc_id
+    )
+    SELECT shingle,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM per_doc
+    GROUP BY shingle
+    HAVING COUNT(*) >= 2
+    """,
+    tier="P2",
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated n-gram census: every sliding 8-token
+    shingle that occurs in ≥ 2 DISTINCT documents, with its document
+    frequency and total occurrence count — the span inventory a
+    substring-level dedup pass (Lee et al. 2021's ExactSubstr) removes,
+    and the direct measurement of how much boilerplate the corpus
+    carries at a given span width.
+
+    Plan: one explode (sliding windows via transform(sequence) — JVM
+    codegen, no Python) → per-(shingle, doc) partial+final count
+    (map-side combine collapses within-doc repeats before the shuffle)
+    → per-shingle rollup with the df ≥ 2 filter.  Both aggregates key
+    on the shingle, so the whole op is two linear shuffles — the
+    dedup_segment_global argument, but sliding (every span alignment)
+    rather than disjoint segments.  Output is TRUE-output-bounded:
+    only spans that actually repeat across documents are emitted.
+    At 100 TB the shingle would travel as a packed int64 rolling hash
+    (the _pair_jaccard code trick) instead of a string; the fixture
+    keeps the raw text so the census is human-auditable and the oracle
+    trivially exact — same policy as dedup_segment_global.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    per_doc = sh.groupBy("shingle", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_doc.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    distinct_sh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM distinct_sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE df.df = 1) AS DOUBLE) / COUNT(*)
+               AS novelty
+    FROM distinct_sh s JOIN df ON s.shingle = df.shingle
+    GROUP BY s.doc_id
+    """,
+    tier="P2",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a document's distinct
+    8-token shingles that occur in NO other document — the
+    memorization/boilerplate score dual to ``text_repeated_ngrams``
+    (novelty 1.0 = fully original text; low novelty = the document is
+    assembled from spans the corpus already contains, the first thing
+    a training-data curator down-weights and the signal Lee et al.
+    2021 report as 'memorized continuations come from repeated text').
+    Domain: documents with ≥ 8 tokens (shorter docs have no spans at
+    this width).
+
+    Plan: the shared sliding-shingle explode → distinct (doc, shingle)
+    → shingle document frequency (one aggregate, map-side combine) →
+    join back on shingle → per-doc conditional rollup.  Both shuffles
+    key on the shingle and the join is equi — corpus-linear, no pair
+    work (novelty needs only df, never which OTHER doc shares the
+    span).  novelty = n_novel / n_shingles is an identical-operand
+    division of exact ints — UNROUNDED per the exprs.py boundary rule.
+    """
+    sh = _doc_shingles(spark, sf_dir).distinct()
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "corpus_lang_confusion",
+    oracle=f"""
+    WITH {_LANG_ID_CTES},
+    pred AS (
+        SELECT doc_id, {_LANG_PRED_CASE} AS predicted_lang
+        FROM scored
+    ),
+    conf AS (
+        SELECT d.lang, p.predicted_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+        GROUP BY d.lang, p.predicted_lang
+    )
+    SELECT lang, predicted_lang, n_docs,
+           CAST(n_docs AS DOUBLE)
+               / SUM(n_docs) OVER (PARTITION BY lang) AS share
+    FROM conf
+    """,
+    tier="P2",
+)
+def corpus_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: cross-tabulate the heuristic
+    classifier's prediction (``text_lang_id``'s n-gram-profile argmax)
+    against the corpus's labeled language — the QA readout a curation
+    team reads before trusting automated language routing (per-label
+    share on the diagonal = recall per language; off-diagonal mass =
+    where mislabeled documents would leak between language buckets).
+    On this fixture all languages share one vocabulary so the matrix
+    is near-uniform — the contract is the computation, exactly as the
+    classifier op documents.
+
+    Plan: the classifier pipeline unchanged (model-sized profile
+    broadcast, per-doc fold), then one equi-join back to the labels
+    and a |langs|²-bounded rollup; the share divides exact ints over a
+    window on that ≤ 25-row table — bounded, trivially not a corpus
+    sort.  share is identical-operand division, UNROUNDED (exprs.py
+    boundary rule; the s_* scores themselves are order-pinned sums —
+    the classifier's determinism argument carries over unchanged).
+    """
+    preds = text_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    conf = (
+        preds.join(docs, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return conf.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / total).alias("share"),
     )

@@ -974,3 +974,143 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("b").alias("trend"),
         (st.getField("l") + st.getField("b")).alias("forecast_next"),
     )
+
+
+_MAD_K = 5  # flag |bucket - median| > K * MAD (K=5 ≈ 3.4σ for normal data)
+
+
+@query(
+    "ts_mad_outliers",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(floor(value * 100) AS BIGINT) AS bucket
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY event_type, bucket
+    ),
+    cum AS (
+        SELECT event_type, bucket,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS med
+        FROM cum GROUP BY event_type
+    ),
+    dev_hist AS (
+        SELECT h.event_type, abs(h.bucket - m.med) AS dev,
+               CAST(SUM(h.cnt) AS BIGINT) AS cnt
+        FROM hist h JOIN med m ON h.event_type = m.event_type
+        GROUP BY h.event_type, abs(h.bucket - m.med)
+    ),
+    dev_cum AS (
+        SELECT event_type, dev,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM dev_hist
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+        FROM dev_cum GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.ts, b.value,
+           b.bucket, m.med AS med_bucket, d.mad AS mad_bucket
+    FROM b
+    JOIN med m ON b.event_type = m.event_type
+    JOIN mad d ON b.event_type = d.event_type
+    WHERE d.mad > 0 AND abs(b.bucket - m.med) > {_MAD_K} * d.mad
+    """,
+    tier="P2",
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-channel outliers via MEDIAN + MAD (median absolute
+    deviation) — the distribution-robust complement to
+    ``ts_anomaly_zscore`` (mean/std are themselves dragged by the
+    outliers they're supposed to flag; median/MAD have a 50% breakdown
+    point) — computed WITHOUT any per-channel sort, the third member
+    of the round-9 histogram-quantile family.
+
+    Quantization makes it exact at scale: value is floored to integer
+    centi-buckets (floor(value·100) — floor of an IEEE multiply of
+    identical doubles is bit-identical in both engines; NOT round(),
+    whose HALF_UP-vs-binary divergence is the exprs.py boundary trap),
+    and from the first (channel, bucket) histogram EVERYTHING else is
+    integer arithmetic on histogram-sized data: the channel median is
+    the rank-⌈n/2⌉ bucket off cumulative counts; the deviation
+    histogram is a re-aggregation OF THE HISTOGRAM (|bucket − med| —
+    never a second corpus pass); MAD is the rank-⌈n/2⌉ deviation; and
+    the flag ``|bucket − med| > {_MAD_K}·MAD`` is an exact integer
+    comparison.  Channels where MAD = 0 (over half the mass in one
+    bucket) are excluded — no meaningful scale to flag against.
+
+    Plan: one corpus aggregate to the value-bounded histogram (≤
+    range/0.01 rows per channel — a fixed ceiling independent of row
+    count), two windows OVER HISTOGRAMS, a |channels|-row broadcast of
+    (med, mad), and one map-side corpus filter.  Zero float
+    arithmetic after the bucket floor, zero rounding anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.floor(F.col("value") * 100).cast("bigint").alias("bucket"),
+    )
+    hist = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _low_median(h: DataFrame, key: str, out: str) -> DataFrame:
+        cum = h.withColumn(
+            "cum",
+            F.sum("cnt").over(Window.partitionBy("event_type").orderBy(key)),
+        ).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col(key))
+            ).alias(out)
+        )
+
+    med = _low_median(hist, "bucket", "med")
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type", F.abs(F.col("bucket") - F.col("med")).alias("dev")
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _low_median(dev_hist, "dev", "mad")
+    model = med.join(mad, "event_type").select(
+        "event_type",
+        F.col("med").alias("med_bucket"),
+        F.col("mad").alias("mad_bucket"),
+    )
+    return (
+        b.join(F.broadcast(model), "event_type")
+        .filter(
+            (F.col("mad_bucket") > 0)
+            & (
+                F.abs(F.col("bucket") - F.col("med_bucket"))
+                > _MAD_K * F.col("mad_bucket")
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            "bucket",
+            "med_bucket",
+            "mad_bucket",
+        )
+    )

@@ -166,6 +166,13 @@ def main(only: list[str] | None = None) -> None:
             "corpus_perplexity_bucket_cuts"
         ].fn,
         "text_bpe_encode_docs": defs["text_bpe_encode_docs"].fn,
+        "text_repeated_ngrams": defs["text_repeated_ngrams"].fn,
+        "text_ngram_novelty": defs["text_ngram_novelty"].fn,
+        "corpus_lang_confusion": defs["corpus_lang_confusion"].fn,
+        "stream_quality_gate": defs["stream_quality_gate"].fn,
+        "agg_quantile_histogram": defs["agg_quantile_histogram"].fn,
+        "sim_knn_ivf_pq": defs["sim_knn_ivf_pq"].fn,
+        "ts_mad_outliers": defs["ts_mad_outliers"].fn,
         "agg_countmin_heavy": defs["agg_countmin_heavy"].fn,
         "corpus_decontam_minhash": defs["corpus_decontam_minhash"].fn,
         "stream_countmin_cells": defs["stream_countmin_cells"].fn,
@@ -303,6 +310,8 @@ _TIER100_PROBES = [
     "corpus_quality_gate_threshold",
     "corpus_perplexity_bucket_cuts",
     "text_bpe_encode_docs",
+    "text_repeated_ngrams",
+    "text_ngram_novelty",
 ]
 
 # Cache paths live under the SAME tempdir stage_10x writes to, so the

@@ -339,3 +339,18 @@ def test_scd2_state_survives_checkpoint_restart(spark, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert streamed.count() == len(s)  # no duplicate emissions either
+
+
+def test_stream_quality_gate_equals_batch_threshold_gate(spark):
+    """The stateless streaming gate must emit exactly the batch
+    threshold gate's rows (same thresholds, same map-side filter —
+    value-for-value, not just count)."""
+    from powertrainstreaming_spark.plans.registry import all_defs
+
+    defs = all_defs()
+    streamed = defs["stream_quality_gate"].fn(spark, SF)
+    batch = defs["corpus_quality_gate_threshold"].fn(spark, SF)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert streamed.count() == len(s)  # no duplicate emissions

@@ -198,6 +198,13 @@ def test_extras_are_intentional():
         "corpus_quality_gate_threshold",
         "corpus_perplexity_bucket_cuts",
         "text_bpe_encode_docs",
+        "text_repeated_ngrams",
+        "text_ngram_novelty",
+        "corpus_lang_confusion",
+        "stream_quality_gate",
+        "agg_quantile_histogram",
+        "sim_knn_ivf_pq",
+        "ts_mad_outliers",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
