@@ -1496,6 +1496,12 @@ def corpus_quality_gate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
     arithmetic (⌈4n/5⌉ = (4n+4) div 5) per the exact-τ CLAUDE.md rule.
     Output adds the per-lang threshold column (thr) — the artifact a
     production gate persists — in place of per-doc percentile.
+
+    [MEASURED, round 9] µs/row FLAT across three probe decades —
+    26.6 (10×) → 18.1 (100×) → 18.07 (1000×) — where the percent_rank
+    twin rises 12.1 → 35.2; 1000× wall 90.35 s vs the twin's 140.71 s
+    (docs/SCALE.md).  The sort ceiling is gone from the plan, not just
+    the docstring.
     """
     return _threshold_gate(_gate_scored(load(spark, sf_dir, "documents")))
 
@@ -1936,5 +1942,12 @@ def corpus_perplexity_bucket_cuts(spark: SparkSession, sf_dir: str) -> DataFrame
     straddles a cut; tests/test_properties.py bounds the per-bucket
     count deviation by the straddling tie-group size on synthetic
     tie-heavy data.
+
+    [MEASURED, round 9] 4.2× faster than the ntile twin at 100×
+    (18.04 vs 75.07 s) and able to run the 1000× tier at all
+    (212.28 s; the twin's per-decade growth priced it out) — the
+    residual super-linearity is the unigram-LM vocabulary axis of
+    token-disjoint staging, measured as reversing under fixed-vocab
+    staging in round 8 (docs/SCALE.md).
     """
     return _bucket_cuts(_ppl_scored(spark, sf_dir))

@@ -589,6 +589,16 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-host probe at ~240 GB (docs/SCALE.md) — now ships arrays
     once per distinct-set candidate pair that also passes the size
     prune, with everything downstream scalar-only.
+
+    [MEASURED, round 9 — scripts/probe_minhash_verify.py] The rework,
+    receipted at 100×: candidates 116,316,335 → 46,660,506 under the
+    size-ratio prune (59.9% cut, the exact unit the verify shuffle is
+    linear in); wall 363.7 → 114.3 s; peak scratch 24 → 8.3 GB; output
+    rows bit-identical (19,053,889).  sf0.1 wall 39.1 → 5.0 s and the
+    full-sweep entry 138.4 → 84.9 s from the same change.  The 1000×
+    single-host retry still exits on the 79 GB scratch quota, but the
+    extrapolated need moved from ~240 GB (3.0× over) to ~83 GB (1.05×)
+    — per executor at 1000 nodes that volume is ~83 MB, noise.
     """
     toks = _doc_tokens(spark, sf_dir)
     grp = _collapse_sets(toks, "minhash")

@@ -1574,6 +1574,10 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a vocabulary lookup attached.  The oracle replays the identical
     8-round greedy path (shared CTE chain) then the identical
     tf → left-join → rollup.
+
+    [MEASURED, round 9] Corpus-linear three decades out: µs/row
+    86.1 (10×) → 16.5 (100×) → 16.79 (1000× — 83.93 s for 5M docs),
+    docs/SCALE.md.
     """
     docs = load(spark, sf_dir, "documents")
     cur, _ = _bpe_train(spark, sf_dir)
