@@ -1375,10 +1375,14 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one map-only scoring pass (split + higher-order filter, all
     JVM codegen), then ONE window over lang partitions for
     percent_rank — at 100 TB each language's partition sorts
-    independently; for a heavily skewed language mix the same gate can
-    run as approx-quantile threshold + map-side filter (two passes, no
-    full sort), which is the documented production fallback if a
-    single lang partition exceeds executor sort memory.  Determinism:
+    independently, so a single heavy language can exceed executor sort
+    memory.  The REGISTERED production form for that regime is
+    ``corpus_quality_gate_threshold``: the same keep-top-80% semantics
+    from a value-bounded (lang, score) histogram — only the histogram
+    is ever window-sorted — bound to this op row-for-row by
+    tests/test_properties.py::test_threshold_gate_agrees_with_percent_rank_gate
+    (and the tie-policy twin).  This percent_rank form stays registered
+    as the oracle-exact semantics definition.  Determinism:
     score is one exact-int division (identical-operand, bit-identical
     both engines, stays UNROUNDED per the exprs.py boundary rule);
     the window orders by (score DESC, doc_id) so ranks are tie-free
@@ -1804,7 +1808,14 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the unigram scoring pass (two corpus aggregates + one
     vocabulary join — lang rides the tf aggregate as a functionally
     dependent key, no extra join), ONE ntile window per language
-    partition, then a |langs|×3-row final aggregate.  Determinism:
+    partition, then a |langs|×3-row final aggregate.  At 100 TB the
+    per-language ntile sort is the same single-heavy-language risk as
+    corpus_quality_gate's; the REGISTERED production form is
+    ``corpus_perplexity_bucket_cuts`` (the _bucket_cuts histogram-threshold
+    core — no corpus sort), bound to this op by
+    tests/test_properties.py::test_bucket_cuts_agree_with_ntile_buckets.
+    This ntile form stays registered as the oracle-exact semantics
+    definition.  Determinism:
     ce is rounded @6 at the doc level (libm ln + order-dependent sum),
     the ntile orders by (ce, doc_id) — tie-free total order, and both
     engines assign ntile groups by the same SQL rule (first n mod k
