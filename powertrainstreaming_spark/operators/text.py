@@ -1885,23 +1885,59 @@ _SHINGLE_CTES = f"""toks AS (
     )"""
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — every SLIDING {_SHINGLE_W}-token window of
-    every document (contrast dedup_segment_global's disjoint fixed
-    segments: sliding windows catch a repeated span at ANY alignment,
-    which is why substring dedup uses them).  The Spark twin of
-    ``_SHINGLE_CTES``."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split(text, ' ')) - "
-                f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
-                f" i, {_SHINGLE_W}), ' '))"
-            )
-        ).alias("shingle"),
+# Second-seed column for the 128-bit shingle fingerprint (any fixed
+# int works; appending it to the hash input yields an independent
+# 64-bit stream from the same codegen primitive).
+_SHINGLE_SEED2 = 7919
+
+
+def _with_shingle_hash(sh: DataFrame) -> DataFrame:
+    """Attach the 128-bit shuffle key (h1, h2) = xxhash64 pair of the
+    shingle string.
+
+    WHY xxhash64 and not exprs.poly_hash: the shingle stream is
+    OCCURRENCE-proportional (~2.7 B rows at the 1000× tier), and
+    poly_hash is a higher-order-function lambda — interpreted per row,
+    the measured 40× trap (round 8: countmin 83 s → 1.3 s).  xxhash64
+    is a JVM whole-stage-codegen expression, so the hash costs one
+    native pass over bytes already in hand.  It is NOT cross-engine
+    replayable, but it never needs to be: the pair is only a GROUPING
+    key, never emitted, and grouping by a 128-bit fingerprint equals
+    grouping by the string unless two distinct shingles collide in
+    BOTH independent 64-bit streams — P ≈ n²/2¹²⁹, ~1.5e-15 even at
+    n = 10¹² distinct shingles (100 TB tier) — so the DuckDB oracles
+    keep grouping by the raw string, bit-identical."""
+    return sh.withColumn("h1", F.xxhash64("shingle")).withColumn(
+        "h2", F.xxhash64("shingle", F.lit(_SHINGLE_SEED2))
     )
+
+
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, *, pos: bool = False
+) -> DataFrame:
+    """(doc_id[, i], shingle, h1, h2) — every SLIDING {_SHINGLE_W}-token
+    window of every document (contrast dedup_segment_global's disjoint
+    fixed segments: sliding windows catch a repeated span at ANY
+    alignment, which is why substring dedup uses them), fingerprinted
+    for int-keyed shuffles.  The Spark twin of ``_SHINGLE_CTES``;
+    ``pos=True`` adds the 1-based window start ``i`` (posexplode is
+    0-based; +1 matches the oracle's generate_series(1, …)).  The
+    string column is built in the same projection the hash consumes —
+    downstream plans that never select it shuffle ints only (Catalyst
+    prunes it at the Exchange)."""
+    docs = load(spark, sf_dir, "documents")
+    windows = F.expr(
+        f"transform(sequence(1, size(split(text, ' ')) - "
+        f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
+        f" i, {_SHINGLE_W}), ' '))"
+    )
+    if pos:
+        sh = docs.select(
+            "doc_id", F.posexplode(windows).alias("i0", "shingle")
+        ).select("doc_id", (F.col("i0") + 1).alias("i"), "shingle")
+    else:
+        sh = docs.select("doc_id", F.explode(windows).alias("shingle"))
+    return _with_shingle_hash(sh)
 
 
 @query(
@@ -1929,30 +1965,43 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the direct measurement of how much boilerplate the corpus
     carries at a given span width.
 
-    Plan: one explode (sliding windows via transform(sequence) — JVM
-    codegen, no Python) → per-(shingle, doc) partial+final count
-    (map-side combine collapses within-doc repeats before the shuffle)
-    → per-shingle rollup with the df ≥ 2 filter.  Both aggregates key
-    on the shingle, so the whole op is two linear shuffles — the
-    dedup_segment_global argument, but sliding (every span alignment)
-    rather than disjoint segments.  Output is TRUE-output-bounded:
-    only spans that actually repeat across documents are emitted.
-    At 100 TB the shingle would travel as a packed int64 rolling hash
-    (the _pair_jaccard code trick) instead of a string; the fixture
-    keeps the raw text so the census is human-auditable and the oracle
-    trivially exact — same policy as dedup_segment_global.
+    Plan (round-10 rework — the round-9 1000× probe bent at 43.5
+    µs/row because ~2.7 B raw shingle STRINGS spilled through both
+    shuffles): one explode (sliding windows via transform(sequence) —
+    JVM codegen, no Python) → per-(h1, h2, doc) partial+final count →
+    per-(h1, h2) rollup with the df ≥ 2 filter, where (h1, h2) is the
+    128-bit xxhash64 fingerprint (_with_shingle_hash — collision
+    accounting there).  Both census shuffles carry INTS ONLY; the
+    string travels exactly once, in a separate distinct-proportional
+    min-per-fingerprint aggregate (map-side combine leaves one string
+    per distinct shingle per partition) joined back to the surviving
+    df ≥ 2 rows — "carry the string only on emitted census rows".
+    The shingle explode is recomputed for that branch rather than
+    checkpointed: materializing the occurrence stream WITH strings
+    would cost more than the second codegen scan (2 consumers — under
+    the 3+-branch localCheckpoint rule).  min(shingle) over a
+    fingerprint group is the group's unique string absent a 128-bit
+    collision, so output and oracle are unchanged from the
+    string-keyed round-9 form.  Output is TRUE-output-bounded: only
+    spans that actually repeat across documents are emitted.
     """
     sh = _doc_shingles(spark, sf_dir)
-    per_doc = sh.groupBy("shingle", "doc_id").agg(
+    per_doc = sh.groupBy("h1", "h2", "doc_id").agg(
         F.count(F.lit(1)).alias("occ")
     )
-    return (
-        per_doc.groupBy("shingle")
+    census = (
+        per_doc.groupBy("h1", "h2")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("occ").cast("bigint").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+    reps = _doc_shingles(spark, sf_dir).groupBy("h1", "h2").agg(
+        F.min("shingle").alias("shingle")
+    )
+    return census.join(reps, ["h1", "h2"]).select(
+        "shingle", "n_docs", "n_occurrences"
     )
 
 
@@ -1986,19 +2035,25 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Domain: documents with ≥ 8 tokens (shorter docs have no spans at
     this width).
 
-    Plan: the shared sliding-shingle explode → distinct (doc, shingle)
-    → shingle document frequency (one aggregate, map-side combine) →
-    join back on shingle → per-doc conditional rollup.  Both shuffles
-    key on the shingle and the join is equi — corpus-linear, no pair
-    work (novelty needs only df, never which OTHER doc shares the
-    span).  novelty = n_novel / n_shingles is an identical-operand
-    division of exact ints — UNROUNDED per the exprs.py boundary rule.
+    Plan (round-10 rework, shared with the census): the sliding-shingle
+    explode projected to (doc_id, h1, h2) — the output never emits the
+    shingle, so the STRING IS DROPPED AT THE SOURCE (Catalyst prunes
+    it at the first Exchange) — → distinct (doc, fingerprint) →
+    fingerprint document frequency (one aggregate, map-side combine) →
+    join back on the fingerprint → per-doc conditional rollup.  Every
+    shuffle carries three ints; grouping by the 128-bit fingerprint
+    equals grouping by the shingle (_with_shingle_hash collision
+    accounting), so the string-keyed DuckDB oracle is unchanged.
+    Corpus-linear, no pair work (novelty needs only df, never which
+    OTHER doc shares the span).  novelty = n_novel / n_shingles is an
+    identical-operand division of exact ints — UNROUNDED per the
+    exprs.py boundary rule.
     """
-    sh = _doc_shingles(spark, sf_dir).distinct()
-    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", "h1", "h2").distinct()
+    df_ = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
     return (
-        sh.join(df_, "shingle")
+        sh.join(df_, ["h1", "h2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

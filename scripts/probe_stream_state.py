@@ -240,13 +240,59 @@ def run_scd2(spark, stage: str) -> tuple[int, int, int, float]:
     return _finish(q, name, spark)
 
 
+def run_gate(spark, stage: str) -> tuple[int, int, int, float]:
+    """Replay the staged documents stream through stream_quality_gate's
+    topology (thresholds fit OFFLINE from the same staged corpus via
+    the batch reader, stream scored map-only and gated by a
+    stream-static broadcast join): the ZERO-state point of the state
+    spectrum.  The receipt this variant exists for: the progress
+    events must report an EMPTY stateOperators list — not merely zero
+    rows in some state store, but no stateful operator in the
+    streaming plan at all (round-9 verdict: the claim was argued from
+    construction; this asserts it from the runtime's own telemetry)."""
+    from powertrainstreaming_spark.operators.corpus import (
+        _gate_scored,
+        _gate_thresholds,
+    )
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    thr = _gate_thresholds(_gate_scored(spark.read.parquet(stage)))
+    schema = TABLE_DDL["documents"] + ", event_ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    gated = (
+        _gate_scored(sdf)
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "lang", "n_tokens", "n_stop", "score", "thr")
+    )
+    name = f"probe_gate_{int(time.time() * 1e6)}"
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    emitted, state, mem, wall = _finish(q, name, spark)
+    n_state_ops = sum(len(p.stateOperators) for p in q.recentProgress)
+    assert n_state_ops == 0, (
+        f"gate expected an empty stateOperators list in every progress "
+        f"event, saw {n_state_ops} entries"
+    )
+    return emitted, state, mem, wall
+
+
 def main() -> None:
     from powertrainstreaming_spark.session import get_spark
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from scale_probe import stage_10x
 
-    which = set(sys.argv[1:]) or {"dedup", "cms", "scd2"}
+    which = set(sys.argv[1:]) or {"dedup", "cms", "scd2", "gate"}
     spark = get_spark(app_name="pts-stream-state-probe")
     # progress events are the measurement — keep all N_BATCHES of them
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
@@ -254,7 +300,7 @@ def main() -> None:
     rows = []
     doc_stages: dict[str, str] = {}
     for tier, dirs in (("1x", ["/root/testdata/sf0.1"]), ("10x", None)):
-        if {"dedup", "cms"} & which:
+        if {"dedup", "cms", "gate"} & which:
             if dirs is None:
                 # documents-only replication; these probes read nothing else
                 dirs = [stage_10x(copies=10, tables=["documents"])]
@@ -273,6 +319,13 @@ def main() -> None:
             emitted, state, mem, wall = run_countmin(spark, stage)
             rows.append(
                 f"| {tier} | countmin | {emitted} | {state} | "
+                f"{mem / 1e6:.1f} | {wall:.2f} |"
+            )
+            print(rows[-1], flush=True)
+        if "gate" in which:
+            emitted, state, mem, wall = run_gate(spark, stage)
+            rows.append(
+                f"| {tier} | quality_gate | {emitted} | {state} | "
                 f"{mem / 1e6:.1f} | {wall:.2f} |"
             )
             print(rows[-1], flush=True)

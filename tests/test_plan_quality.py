@@ -415,3 +415,73 @@ def test_quantile_twins_never_window_sort_doc_rows(spark):
             scan = subtree.find("FileScan")
             assert agg != -1, f"{name}: Window not above a histogram\n{subtree}"
             assert scan == -1 or agg < scan, f"{name}: Window sorts scan rows"
+
+
+def test_shingle_census_shuffles_key_on_fingerprint_not_string(spark):
+    """Round-10 scale contract for the repeated-span family: every
+    shuffle in text_repeated_ngrams / text_ngram_novelty must
+    hash-partition on the 128-bit (h1, h2) xxhash64 fingerprint and/or
+    doc_id — never the raw shingle string (the round-9 1000× probe bent
+    exactly because ~2.7 B shingle strings spilled through the census
+    shuffles).  The string may ride ONE aggregate as a min() payload
+    (the census's emit-row recovery); it must never be a partitioning
+    key."""
+    import re
+
+    for name in ("text_repeated_ngrams", "text_ngram_novelty"):
+        plan = _plan(all_defs()[name].fn(spark, SF), "simple", final=True)
+        final_plan = plan.split("== Initial Plan ==")[0]
+        exchanges = [
+            l
+            for l in final_plan.splitlines()
+            if "Exchange hashpartitioning" in l
+        ]
+        assert exchanges, f"{name}: expected hash exchanges in plan"
+        for line in exchanges:
+            keys = line.split("hashpartitioning(", 1)[1]
+            names = set(re.findall(r"(\w+)#\d+", keys))
+            assert names <= {"h1", "h2", "doc_id"}, (name, line)
+
+
+def test_semantic_cluster_dedup_cell_blocked_never_cartesian(spark):
+    """dedup_embedding_cluster's pair work must be confined to k-means
+    cells: no CartesianProduct, and the only nested-loop build sides
+    are the model-sized codebook (a driver-built LocalTableScan of
+    _KM_K rows) — never a corpus-scaled input.  The within-cell pair
+    join itself must carry the cell as an equi-key."""
+    import re
+
+    plan = _plan(
+        all_defs()["dedup_embedding_cluster"].fn(spark, SF),
+        "simple",
+        final=True,
+    )
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final_plan
+    lines = final_plan.splitlines()
+    structural = ("QueryStage", "InputAdapter", "WholeStageCodegen", "== ")
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        child = next(
+            (
+                l
+                for l in lines[i + 1 :]
+                if l.strip() and not any(s in l for s in structural)
+            ),
+            "",
+        )
+        # The codebook reaches the BNLJ as a LocalTableScan / ExistingRDD
+        # scan, or as a ReusedExchange referencing it (ReusedExchange
+        # carries no subtree — the referenced exchange is checked where
+        # it is materialized, same convention as
+        # _assert_no_unbounded_product).
+        assert "cent_id" in child and (
+            "LocalTableScan" in child
+            or "Scan ExistingRDD" in child
+            or "ReusedExchange" in child
+        ), f"corpus-sized BNLJ build:\n{child}"
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*cell",
+        final_plan,
+    ), "pair join lost its cell equi-key"

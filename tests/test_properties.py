@@ -2166,3 +2166,167 @@ def test_ivf_pq_recall_confinement_and_residual_fidelity(spark):
         assert abs(r.adc_sim - r.sim) <= 0.30, (r.vec_id, r.adc_sim, r.sim)
         if r.vec_id in exact_sim:
             assert r.sim == exact_sim[r.vec_id]
+
+
+def test_span_dedup_mass_and_census_consistency(spark):
+    """dedup_span_repeated invariants vs its own inputs and the census
+    family it acts on (round-10: the census→action closure):
+    1. Σ n_tokens = the corpus token count (no token silently created
+       or lost before removal accounting).
+    2. Per doc, clean_text re-tokenizes to exactly n_tokens − n_removed
+       tokens (the removal count and the reassembly agree).
+    3. A doc whose every shingle is corpus-unique (text_ngram_novelty
+       = 1.0) has nothing to remove; contrapositive, every doc with
+       n_removed > 0 must carry a repeated shingle (novelty < 1)."""
+    from powertrainstreaming_spark.operators.dedup import dedup_span_repeated
+    from powertrainstreaming_spark.operators.text import text_ngram_novelty
+
+    out = dedup_span_repeated(spark, SF)
+    docs = load(spark, SF, "documents")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).first().n
+    agg = out.select(
+        F.sum("n_tokens").alias("nt"),
+        F.sum(
+            F.when(
+                (
+                    F.when(
+                        F.col("clean_text") == "", 0
+                    ).otherwise(F.size(F.split("clean_text", " ")))
+                )
+                != (F.col("n_tokens") - F.col("n_removed")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_reassembly"),
+    ).first()
+    assert agg.nt == total
+    assert agg.bad_reassembly == 0
+    nov = text_ngram_novelty(spark, SF).select("doc_id", "novelty")
+    bad = (
+        out.join(nov, "doc_id")
+        .filter((F.col("novelty") == 1.0) & (F.col("n_removed") > 0))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_span_dedup_keep_first_on_synthetic(spark):
+    """Hand-checkable synthetic corpus for the keep-first policy:
+    doc 1 and doc 2 share the 8-token span S; doc 1 (lowest id) must
+    survive VERBATIM including a within-doc repeat of S, doc 2 loses
+    exactly S's tokens, and an all-unique doc 3 passes through."""
+    from powertrainstreaming_spark.operators.dedup import _span_dedup_core
+
+    s = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s} x1 x2 {s}"),
+            (2, f"y1 y2 {s}"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in _span_dedup_core(docs).collect()
+    }
+    assert got[1].clean_text == f"{s} x1 x2 {s}"
+    assert (got[1].n_tokens, got[1].n_removed) == (18, 0)
+    assert got[2].clean_text == "y1 y2"
+    assert (got[2].n_tokens, got[2].n_removed) == (10, 8)
+    assert got[3].clean_text == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    assert got[3].n_removed == 0
+
+
+def test_semantic_cluster_dedup_survivors_and_witnesses(spark):
+    """dedup_embedding_cluster's greedy is one-shot by construction, so
+    three exact properties hold and are checked against a full
+    driver-side recomputation of within-cell cosines at sf0.001:
+    1. τ-consistency: no two SURVIVORS of one cell are ≥ τ similar
+       (if they were, the later-keyed one would have been dropped).
+    2. Drop witness: every dropped vector has an earlier-keyed
+       neighbor in its cell at ≥ τ.
+    3. Partition: survivors + dropped = the embeddings table."""
+    import numpy as np
+
+    from powertrainstreaming_spark.operators.dedup import (
+        _EMB_TAU,
+        dedup_embedding_cluster,
+    )
+    from powertrainstreaming_spark.operators.similarity import (
+        _assign_cells,
+        _train_centroids,
+    )
+
+    from powertrainstreaming_spark.operators.dedup import _sem_reps
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    out = dedup_embedding_cluster(spark, sf)
+    survivors = {r.vec_id for r in out.select("vec_id").collect()}
+    n_emb = emb.count()
+    assert len(survivors) < n_emb  # τ=0.3 genuinely prunes the fixture
+
+    # Recompute over the op's own domain: the exact-dup collapsed reps
+    # (collapse is semantics-preserving — _sem_reps docstring — and
+    # clones never survive, asserted below).
+    reps = _sem_reps(emb)
+    n_all = reps.count()
+    rep_ids = {r.vec_id for r in reps.select("vec_id").collect()}
+    assert survivors <= rep_ids  # no clone ever survives
+    cents = _train_centroids(spark, reps)
+    cents_df = spark.createDataFrame(
+        cents, "cent_id int, c_emb array<double>"
+    )
+    rows = _assign_cells(reps, cents_df).collect()
+    by_cell: dict[int, list] = {}
+    cmap = dict(cents)
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    dropped = {r.vec_id for r in rows} - survivors
+    assert len(dropped) + len(survivors) == n_all
+    eps = 1e-9
+    for cell, members in by_cell.items():
+        c = np.array(cmap[cell])
+        key = {
+            m.vec_id: (round(float(np.dot(m.embedding, c)), 6), m.vec_id)
+            for m in members
+        }
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos = round(float(np.dot(a.embedding, b.embedding)), 6)
+                first, second = sorted(
+                    (a.vec_id, b.vec_id), key=lambda v: key[v]
+                )
+                if cos >= _EMB_TAU + eps:
+                    # τ-consistency: the later-keyed one cannot survive
+                    assert second not in survivors, (cell, first, second)
+        for m in members:
+            if m.vec_id in dropped:
+                assert any(
+                    key[o.vec_id] < key[m.vec_id]
+                    and round(float(np.dot(o.embedding, m.embedding)), 6)
+                    >= _EMB_TAU - eps
+                    for o in members
+                ), f"dropped {m.vec_id} has no witness in cell {cell}"
+
+
+def test_semantic_cluster_exact_collapse_on_cloned_corpus(spark):
+    """The fixture embeddings carry no verbatim clones (500/500
+    distinct), so exercise _sem_reps' collapse contract synthetically:
+    a self-union with offset ids must collapse to one rep per distinct
+    vector, each rep the MINIMUM vec_id of its clone group with that
+    row's label — the precondition of the clone-never-survives proof
+    in the _sem_reps docstring (survivors ⊆ reps is asserted against
+    the real op in the invariants test above)."""
+    from powertrainstreaming_spark.operators.dedup import _sem_reps
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    cloned = emb.union(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    reps = _sem_reps(cloned).collect()
+    assert len(reps) == 50
+    assert all(r.vec_id < 1_000_000 for r in reps)
+    orig = {r.vec_id: r.label for r in emb.collect()}
+    assert all(orig[r.vec_id] == r.label for r in reps)

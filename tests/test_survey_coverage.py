@@ -205,6 +205,9 @@ def test_extras_are_intentional():
         "agg_quantile_histogram",
         "sim_knn_ivf_pq",
         "ts_mad_outliers",
+        # round 10
+        "dedup_span_repeated",
+        "dedup_embedding_cluster",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
