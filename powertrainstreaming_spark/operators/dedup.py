@@ -516,6 +516,60 @@ def _band_sigs_from_h(th: DataFrame) -> DataFrame:
     )
 
 
+def _band_sigs_wide_from_h(th: DataFrame) -> DataFrame:
+    """(doc_id, band, sig, s0..s{B-2}) — ``_band_sigs_from_h`` plus
+    every EARLIER band's signature carried as scalar columns, the
+    input shape of the first-match-band join discipline (round 10):
+    emitting a candidate pair only from its LOWEST matching band makes
+    the band join's output exactly-once per candidate, deleting both
+    the ~2.6× duplicate pair stream (at j ≈ τ a true pair matches most
+    of the b bands) and the pair-stream ``.distinct()`` shuffle that
+    deduplicated it.  Width cost: (b−1) extra int64s on the
+    distinct-set-proportional sig rows — noise next to the
+    pair-proportional stream it deletes.  Signatures are computed by
+    the identical min/fold expressions as ``_band_sigs_from_h`` (same
+    single hash aggregate, same per-doc explode), so the shared
+    ``_MINHASH_SIG_CTES`` oracle is unchanged."""
+    mins = th.groupBy("doc_id").agg(
+        *[
+            F.min(((2 * i + 1) * F.col("h") + i) % POLY_M).alias(f"mh{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    sig_col = [
+        poly_fold(
+            F.array(
+                *[
+                    F.col(f"mh{b * _MINHASH_R + j}")
+                    for j in range(_MINHASH_R)
+                ]
+            )
+        )
+        for b in range(_MINHASH_B)
+    ]
+    wide = mins.select(
+        "doc_id", *[sig_col[b].alias(f"s{b}") for b in range(_MINHASH_B)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"s{b}").alias("sig")
+            )
+            for b in range(_MINHASH_B)
+        ]
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(bands).alias("bs"),
+        *[F.col(f"s{j}") for j in range(_MINHASH_B - 1)],
+    ).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+        *[F.col(f"s{j}") for j in range(_MINHASH_B - 1)],
+    )
+
+
 # Shared CTE prefix: tokens → seeded min-hashes → banded signatures.
 # Used verbatim by the full-corpus and incremental oracles so the two
 # stay bit-identical by construction.
@@ -564,7 +618,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) band-signature equi-join over representatives with the
     EXACT-INT size-ratio prune in the join condition (J ≥ τ forces
     τ·max(na,nb) ≤ min — lossless for the verified output, kills
-    length-incompatible LSH collisions before any array ships);
+    length-incompatible LSH collisions before any array ships) under
+    the FIRST-MATCH-BAND discipline (round 10): each side carries its
+    earlier bands' signatures as scalar columns
+    (_band_sigs_wide_from_h) and a joined row survives only if no
+    earlier band also matches — so every candidate pair is emitted
+    EXACTLY ONCE and the pair-stream .distinct() exchange is deleted
+    outright (unrolled scalar comparisons, b−1 of them, per the
+    CLAUDE.md no-HOF-on-pair-rows rule);
     (4) exact-Jaccard verify once per representative pair, projecting
     the packed arrays away in the verify stage itself and emitting
     SCALARS (_verify_expand); (5) member expansion at the end,
@@ -590,50 +651,69 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per distinct-set candidate pair that also passes the size
     prune, with everything downstream scalar-only.
 
-    [MEASURED, round 9 — scripts/probe_minhash_verify.py] The rework,
-    receipted at 100×: candidates 116,316,335 → 46,660,506 under the
-    size-ratio prune (59.9% cut, the exact unit the verify shuffle is
-    linear in); wall 363.7 → 114.3 s; peak scratch 24 → 8.3 GB; output
-    rows bit-identical (19,053,889).  sf0.1 wall 39.1 → 5.0 s and the
-    full-sweep entry 138.4 → 84.9 s from the same change.  The 1000×
-    single-host retry still exits on the 79 GB scratch quota, but the
-    extrapolated need moved from ~240 GB (3.0× over) to ~83 GB (1.05×)
-    — per executor at 1000 nodes that volume is ~83 MB, noise.
+    [MEASURED, round 9 — scripts/probe_minhash_verify.py] The verify
+    rework, receipted at 100×: candidates 116,316,335 → 46,660,506
+    under the size-ratio prune (59.9% cut); wall 363.7 → 114.3 s; peak
+    scratch 24 → 8.3 GB; output rows bit-identical (19,053,889).
+    sf0.1 wall 39.1 → 5.0 s and the full-sweep entry 138.4 → 84.9 s.
+
+    [MEASURED, round 10 — same probe, extended] First-match-band,
+    receipted at 100×: the old duplicate pair stream was 69,428,289
+    rows (1.49× the candidate set); the first-match join emits
+    exactly 46,660,506 (asserted equal to the distinct count
+    in-probe), and with the .distinct() exchange deleted the timed
+    fresh-JVM run reads peak scratch 4.3 GB (was 8.3) at an unchanged
+    wall (123.0 s vs 114.3, inside the host envelope), output still
+    bit-identical.  That halves the candidate-linear 1000×
+    extrapolation to ~43 GB against the 79 GB quota — the tier the
+    round-8/9 attempts died on; docs/SCALE.md carries the 1000× row.
     """
     toks = _doc_tokens(spark, sf_dir)
     grp = _collapse_sets(toks, "minhash")
     rep_h = grp.select(
         F.col("rep").alias("doc_id"), F.explode("codes").alias("c")
     ).select("doc_id", F.expr("c div 2147483648").alias("h"))
-    sigs = _band_sigs_from_h(rep_h)
+    sigs = _band_sigs_wide_from_h(rep_h)
     sizes = grp.select(
         F.col("rep").alias("doc_id"), F.size("codes").alias("n")
     )
     sa = sigs.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), "band", "sig", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "sig",
+        F.col("n").alias("na"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(_MINHASH_B - 1)],
     )
     sb = sigs.join(sizes, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
         F.col("n").alias("nb"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(_MINHASH_B - 1)],
     )
-    candidates = (
-        sa.join(
-            sb,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("sig") == F.col("sig_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            # size-ratio prune, EXACT-INT (the _JAC_TAU_NUM note):
-            # J >= tau forces tau*max <= min; verified output is
-            # unchanged, the array-shipping verify gets strictly fewer
-            # candidate pairs.
-            & (F.col("na") * _JAC_TAU_DEN >= F.col("nb") * _JAC_TAU_NUM)
-            & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM),
+    # First-match-band filter (round 10): keep a joined row only if no
+    # EARLIER band also matches, so each candidate pair is emitted
+    # exactly once and the pair-stream .distinct() disappears — all
+    # scalar comparisons, unrolled over the b−1 earlier bands (the
+    # CLAUDE.md lambda rule: never a HOF over pair-proportional rows).
+    first_match = F.lit(True)
+    for j in range(_MINHASH_B - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.col(f"sa{j}") != F.col(f"sb{j}"))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    candidates = sa.join(
+        sb,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("sig") == F.col("sig_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        # size-ratio prune, EXACT-INT (the _JAC_TAU_NUM note):
+        # J >= tau forces tau*max <= min; verified output is
+        # unchanged, the array-shipping verify gets strictly fewer
+        # candidate pairs.
+        & (F.col("na") * _JAC_TAU_DEN >= F.col("nb") * _JAC_TAU_NUM)
+        & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM)
+        & first_match,
+    ).select("doc_a", "doc_b")
     return _verify_expand(candidates, grp)
 
 

@@ -953,7 +953,11 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering a live crawl: the model (thresholds) refreshes on a
     batch cadence; the stream path is STATELESS — score, one broadcast
     lookup, filter — so it has zero streaming state, no watermark, and
-    per-batch latency independent of history (contrast the three
+    per-batch latency independent of history.  MEASURED, not just
+    argued (round 10, scripts/probe_stream_state.py gate →
+    docs/SCALE.md): the probe asserts every progress event reports an
+    EMPTY stateOperators list at the 1× and 10× replay tiers
+    (contrast the three
     stateful twins: segment-dedup's content-proportional index, CMS's
     fixed 2048 cells, SCD2's per-entity row — this op completes the
     state-design spectrum at exactly ZERO).

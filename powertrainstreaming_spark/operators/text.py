@@ -1967,41 +1967,62 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (round-10 rework — the round-9 1000× probe bent at 43.5
     µs/row because ~2.7 B raw shingle STRINGS spilled through both
-    shuffles): one explode (sliding windows via transform(sequence) —
-    JVM codegen, no Python) → per-(h1, h2, doc) partial+final count →
-    per-(h1, h2) rollup with the df ≥ 2 filter, where (h1, h2) is the
-    128-bit xxhash64 fingerprint (_with_shingle_hash — collision
-    accounting there).  Both census shuffles carry INTS ONLY; the
-    string travels exactly once, in a separate distinct-proportional
-    min-per-fingerprint aggregate (map-side combine leaves one string
-    per distinct shingle per partition) joined back to the surviving
-    df ≥ 2 rows — "carry the string only on emitted census rows".
-    The shingle explode is recomputed for that branch rather than
-    checkpointed: materializing the occurrence stream WITH strings
-    would cost more than the second codegen scan (2 consumers — under
-    the 3+-branch localCheckpoint rule).  min(shingle) over a
-    fingerprint group is the group's unique string absent a 128-bit
-    collision, so output and oracle are unchanged from the
-    string-keyed round-9 form.  Output is TRUE-output-bounded: only
-    spans that actually repeat across documents are emitted.
+    shuffles): ALL-INT end to end.  One posexplode (sliding windows
+    via transform(sequence) — JVM codegen, no Python) → per-(h1, h2,
+    doc) count carrying min(position) → per-(h1, h2) rollup with the
+    df ≥ 2 filter, carrying min(struct(doc_id, position)) — the
+    lexicographically-first OCCURRENCE COORDINATE of the span, where
+    (h1, h2) is the 128-bit xxhash64 fingerprint (_with_shingle_hash —
+    collision accounting there).  The emitted shingle text is REBUILT from
+    that coordinate: one equi-join of the df ≥ 2 survivors against the
+    documents table on doc_id, then slice(split(text), pos, W)
+    map-side — so the only strings that ever cross a shuffle are each
+    document's text ONCE (corpus-linear, ~7× narrower than the
+    occurrence stream), and shingle strings exist only in the final
+    projection of emitted rows.  min(struct) over a fingerprint group
+    locates the group's unique span absent a 128-bit collision, so
+    output and oracle are unchanged from the string-keyed round-9
+    form.  Output is TRUE-output-bounded: only spans that actually
+    repeat across documents are emitted.
+
+    [MEASURED, round 10 — the honest part] The 1000× re-probe did NOT
+    confirm round 9's string hypothesis: an all-int control (the
+    reworked novelty, no strings by construction) lands in the same
+    400-620 s band, and the bench.py host canary degraded 4.94→6.54 s
+    across the probe window — the tier is occurrence-volume
+    writeback-bound on one host, with strings a second-order term.
+    The byte cut is still plan-asserted
+    (tests/test_plan_quality.py::
+    test_shingle_census_shuffles_key_on_fingerprint_not_string) and
+    is what a cluster keeps; full decomposition in docs/SCALE.md.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir, pos=True)
     per_doc = sh.groupBy("h1", "h2", "doc_id").agg(
-        F.count(F.lit(1)).alias("occ")
+        F.count(F.lit(1)).alias("occ"),
+        F.min("i").alias("first_i"),
     )
     census = (
         per_doc.groupBy("h1", "h2")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("occ").cast("bigint").alias("n_occurrences"),
+            F.min(F.struct("doc_id", "first_i")).alias("loc"),
         )
         .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("loc.doc_id").alias("doc_id"),
+            F.col("loc.first_i").alias("rep_i"),
+            "n_docs",
+            "n_occurrences",
+        )
     )
-    reps = _doc_shingles(spark, sf_dir).groupBy("h1", "h2").agg(
-        F.min("shingle").alias("shingle")
-    )
-    return census.join(reps, ["h1", "h2"]).select(
-        "shingle", "n_docs", "n_occurrences"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return census.join(docs, "doc_id").select(
+        F.expr(
+            f"array_join(slice(split(text, ' '), rep_i, {_SHINGLE_W}), ' ')"
+        ).alias("shingle"),
+        "n_docs",
+        "n_occurrences",
     )
 
 

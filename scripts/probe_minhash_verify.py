@@ -86,7 +86,8 @@ def main() -> None:
     from powertrainstreaming_spark.operators.dedup import (
         _JAC_TAU_DEN,
         _JAC_TAU_NUM,
-        _band_sigs_from_h,
+        _MINHASH_B,
+        _band_sigs_wide_from_h,
         _collapse_sets,
         _doc_tokens,
     )
@@ -111,18 +112,23 @@ def main() -> None:
     rep_h = grp.select(
         F.col("rep").alias("doc_id"), F.explode("codes").alias("c")
     ).select("doc_id", F.expr("c div 2147483648").alias("h"))
-    sigs = _band_sigs_from_h(rep_h).localCheckpoint()
+    sigs = _band_sigs_wide_from_h(rep_h).localCheckpoint()
     sizes = grp.select(
         F.col("rep").alias("doc_id"), F.size("codes").alias("n")
     )
     sa = sigs.join(sizes, "doc_id").select(
-        F.col("doc_id").alias("doc_a"), "band", "sig", F.col("n").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "sig",
+        F.col("n").alias("na"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(_MINHASH_B - 1)],
     )
     sb = sigs.join(sizes, "doc_id").select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
         F.col("n").alias("nb"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(_MINHASH_B - 1)],
     )
     base_cond = (
         (F.col("band") == F.col("band_b"))
@@ -141,11 +147,25 @@ def main() -> None:
         .distinct()
         .count()
     )
+    # Round-10 decomposition: the duplicate pair STREAM the old
+    # .distinct() had to shuffle (a pair re-emitted once per matching
+    # band) vs the first-match-band stream (exactly one row per
+    # candidate — must equal the distinct count, asserted).
+    n_stream = sa.join(sb, base_cond & prune).count()
+    first_match = F.lit(True)
+    for j in range(_MINHASH_B - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.col(f"sa{j}") != F.col(f"sb{j}"))
+        )
+    n_first = sa.join(sb, base_cond & prune & first_match).count()
+    assert n_first == n_pruned, (n_first, n_pruned)
     n_groups = grp.count()
     print(
         f"100x candidates: {n_unpruned} without size prune, "
         f"{n_pruned} with ({100 * (1 - n_pruned / max(n_unpruned, 1)):.1f}% "
-        f"cut); {n_groups} distinct sets",
+        f"cut); duplicate stream {n_stream} rows "
+        f"(x{n_stream / max(n_pruned, 1):.2f}) vs first-match {n_first}; "
+        f"{n_groups} distinct sets",
         flush=True,
     )
 

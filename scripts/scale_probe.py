@@ -437,7 +437,7 @@ def main_100x(only: str | None = None) -> None:
 _STAGE1000 = os.path.join(tempfile.gettempdir(), "pts_tier_stage1000")
 
 
-def main_1000x(only: str) -> None:
+def main_1000x(only: str, copies: int = 1000) -> None:
     """1000× decade for the linear-by-design corpus flagships.
 
     Documents replicated ×1000 token-disjoint (~1.5 GB staged, 5M
@@ -454,10 +454,15 @@ def main_1000x(only: str) -> None:
     from powertrainstreaming_spark.plans.registry import all_defs
     from powertrainstreaming_spark.session import get_spark
 
+    stage_n = (
+        _STAGE1000
+        if copies == 1000
+        else os.path.join(tempfile.gettempdir(), f"pts_tier_stage{copies}")
+    )
     _stage_into(_STAGE10, 10)
-    if not os.path.isdir(_STAGE1000):
-        tmp = stage_10x(copies=1000, tables=["documents"])
-        os.rename(tmp, _STAGE1000)
+    if not os.path.isdir(stage_n):
+        tmp = stage_10x(copies=copies, tables=["documents"])
+        os.rename(tmp, stage_n)
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name=f"pts-scale-1000x-{only}")
@@ -472,9 +477,10 @@ def main_1000x(only: str) -> None:
         return time.perf_counter() - t0, rows
 
     timed(_STAGE10, warm=True, partitions=64)
-    t1000, r1000 = timed(_STAGE1000, warm=False, partitions=640)
+    t1000, r1000 = timed(stage_n, warm=False, partitions=640)
     print(
-        f"| {only} | {t1000:.2f} | {r1000} | {1e6 * t1000 / max(r1000, 1):.2f} |",
+        f"| {only} ({copies}x) | {t1000:.2f} | {r1000} | "
+        f"{1e6 * t1000 / max(r1000, 1):.2f} |",
         flush=True,
     )
 
@@ -483,7 +489,12 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "100":
         main_100x(sys.argv[2] if len(sys.argv) > 2 else None)
     elif len(sys.argv) > 1 and sys.argv[1] == "1000":
-        main_1000x(sys.argv[2])
+        # optional third arg: copy count for a reduced bracketing tier
+        # (e.g. `1000 dedup_near_minhash 700` — round-10 quota bracket)
+        main_1000x(
+            sys.argv[2],
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1000,
+        )
     elif len(sys.argv) > 2 and sys.argv[1] == "10":
         main(only=sys.argv[2:])
     else:
