@@ -1680,18 +1680,10 @@ GROUP BY tok.doc_id
 """
 
 
-def _span_dedup_core(docs: DataFrame) -> DataFrame:
-    """The sliding-span removal core over any (doc_id, text) frame —
-    split out so property tests can drive it with synthetic corpora
-    whose repeated spans are known by construction.
-
-    Coverage rule: token position p of doc d is removed iff SOME
-    sliding _SHINGLE_W-token window [i, i+7] ∋ p starts a shingle that
-    occurs in ≥ 2 distinct documents AND d is not that shingle's
-    lowest-id document (keep-first — the dedup_segment_global policy
-    at sliding alignment).  All occurrences inside the first document
-    survive, including within-doc repeats (df counts DOCUMENTS).
-    """
+def _doc_span_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, h1, h2) — positioned, fingerprinted sliding shingles
+    of any (doc_id, text)-shaped frame (the text._doc_shingles shape
+    without the string column, reusable on a streaming micro-batch)."""
     from powertrainstreaming_spark.operators.text import (
         _SHINGLE_W,
         _with_shingle_hash,
@@ -1702,13 +1694,21 @@ def _span_dedup_core(docs: DataFrame) -> DataFrame:
         f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
         f" i, {_SHINGLE_W}), ' '))"
     )
-    sh = _with_shingle_hash(
+    return _with_shingle_hash(
         docs.select(
             "doc_id", F.posexplode(windows).alias("i0", "shingle")
         ).select("doc_id", (F.col("i0") + 1).alias("i"), "shingle")
     ).select("doc_id", "i", "h1", "h2")
-    stats = (
-        sh.groupBy("h1", "h2", "doc_id")
+
+
+def _span_removal_index(docs: DataFrame) -> DataFrame:
+    """(h1, h2, min_doc) for every ≥2-doc repeated span — the OFFLINE
+    MODEL of substring dedup (the span index a stream deployment fits
+    on a batch cadence and serves to the ingest path; fingerprint-keyed
+    ints only, corpus-scaled but narrow)."""
+    return (
+        _doc_span_shingles(docs)
+        .groupBy("h1", "h2", "doc_id")
         .agg(F.count(F.lit(1)).alias("occ"))
         .groupBy("h1", "h2")
         .agg(
@@ -1716,12 +1716,23 @@ def _span_dedup_core(docs: DataFrame) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
         .filter(F.col("n_docs") >= 2)
+        .select("h1", "h2", "min_doc")
     )
+
+
+def _span_clean(docs: DataFrame, index: DataFrame) -> DataFrame:
+    """Remove every token of ``docs`` covered by an indexed repeated
+    span (keep-first: the indexed min_doc keeps all its occurrences)
+    and reassemble — pure function of (docs, index), so the batch op
+    and the per-micro-batch streaming twin share it verbatim."""
+    sh = _doc_span_shingles(docs)
     rem = (
-        sh.join(stats, ["h1", "h2"])
+        sh.join(index, ["h1", "h2"])
         .filter(F.col("doc_id") != F.col("min_doc"))
         .select("doc_id", "i")
     )
+    from powertrainstreaming_spark.operators.text import _SHINGLE_W
+
     cov = rem.select(
         "doc_id",
         F.explode(F.sequence(F.col("i"), F.col("i") + (_SHINGLE_W - 1))).alias(
@@ -1745,6 +1756,21 @@ def _span_dedup_core(docs: DataFrame) -> DataFrame:
         .alias("n_removed"),
         F.array_join(kept_sorted, " ").alias("clean_text"),
     )
+
+
+def _span_dedup_core(docs: DataFrame) -> DataFrame:
+    """The sliding-span removal core over any (doc_id, text) frame —
+    split out so property tests can drive it with synthetic corpora
+    whose repeated spans are known by construction.
+
+    Coverage rule: token position p of doc d is removed iff SOME
+    sliding _SHINGLE_W-token window [i, i+7] ∋ p starts a shingle that
+    occurs in ≥ 2 distinct documents AND d is not that shingle's
+    lowest-id document (keep-first — the dedup_segment_global policy
+    at sliding alignment).  All occurrences inside the first document
+    survive, including within-doc repeats (df counts DOCUMENTS).
+    """
+    return _span_clean(docs, _span_removal_index(docs))
 
 
 @query("dedup_span_repeated", oracle=_SPAN_DEDUP_ORACLE, tier="P2")

@@ -990,3 +990,67 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "n_stop", "score", "thr")
     )
     return run_bounded(gated, "append")
+
+
+def _span_dedup_oracle() -> str:
+    from powertrainstreaming_spark.operators.dedup import _SPAN_DEDUP_ORACLE
+
+    return _SPAN_DEDUP_ORACLE
+
+
+@query("stream_span_dedup", oracle=_span_dedup_oracle(), tier="P2")
+def stream_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring dedup: ``dedup_span_repeated``'s removal
+    deployed at INGEST TIME — the span index (every ≥2-doc repeated
+    8-token fingerprint with its keep-first owner, _span_removal_index)
+    is fit OFFLINE from the batch corpus, and each arriving micro-batch
+    of documents is cleaned against it by the shared ``_span_clean``
+    core inside foreachBatch, appended to partitioned parquet (the
+    stream_foreachbatch_sink production-sink shape).  This is the
+    ingest topology of substring dedup on a live crawl: the index
+    refreshes on a batch cadence (exactly like stream_quality_gate's
+    thresholds, but corpus-scaled — a stored fingerprint table joined
+    per batch, not a broadcast), and the stream path holds ZERO
+    streaming state: every document's windows, coverage and reassembly
+    are contained in its own micro-batch, so the per-batch work is a
+    batch job on that batch's documents.
+
+    Value-equality with the batch twin under ANY doc-level batch split
+    is structural — _span_clean is a pure per-document function given
+    the fixed index — so this op carries the batch op's FULL SQL
+    oracle verbatim, and the 2-batch replay (the
+    _stage_documents_halves harness) hash-checks it end to end.  At
+    100 TB the per-batch join against the stored index is the same
+    fingerprint equi-join the batch op runs, sized by the BATCH (not
+    the corpus) on the probe side.
+    """
+    from powertrainstreaming_spark.operators.dedup import (
+        _span_clean,
+        _span_removal_index,
+    )
+    from powertrainstreaming_spark.sources.loaders import TABLE_DDL
+
+    index = _span_removal_index(load(spark, sf_dir, "documents"))
+    out = scratch_dir(prefix="pts_span_stream_")
+    stage = _stage_documents_halves(sf_dir)
+    sdf = (
+        spark.readStream.schema(TABLE_DDL["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def _clean_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _span_clean(batch_df.select("doc_id", "text"), index).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(_clean_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "doc_id", "n_tokens", "n_removed", "clean_text"
+    )

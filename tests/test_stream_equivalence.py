@@ -354,3 +354,19 @@ def test_stream_quality_gate_equals_batch_threshold_gate(spark):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert streamed.count() == len(s)  # no duplicate emissions
+
+
+def test_stream_span_dedup_equals_batch_span_dedup(spark):
+    """The ingest-time substring cleaner must emit exactly the batch
+    dedup_span_repeated rows (same offline span index, shared
+    _span_clean core, per-doc work contained in its micro-batch —
+    value-for-value across the real 2-batch replay)."""
+    from powertrainstreaming_spark.plans.registry import all_defs
+
+    defs = all_defs()
+    streamed = defs["stream_span_dedup"].fn(spark, SF)
+    batch = defs["dedup_span_repeated"].fn(spark, SF)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert streamed.count() == len(s)  # no duplicate emissions

@@ -208,6 +208,7 @@ def test_extras_are_intentional():
         # round 10
         "dedup_span_repeated",
         "dedup_embedding_cluster",
+        "stream_span_dedup",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
