@@ -1685,15 +1685,14 @@ def _doc_span_shingles(docs: DataFrame) -> DataFrame:
     of any (doc_id, text)-shaped frame (the text._doc_shingles shape
     without the string column, reusable on a streaming micro-batch)."""
     from powertrainstreaming_spark.operators.text import (
-        _SHINGLE_W,
+        _SHINGLE_WINDOWS_SQL,
         _with_shingle_hash,
     )
 
-    windows = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - "
-        f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
-        f" i, {_SHINGLE_W}), ' '))"
-    )
+    # Short-doc-guarded (<_SHINGLE_W tokens → zero shingles, doc passes
+    # through verbatim downstream) — the unguarded form crashed on
+    # docs under the window width; see _SHINGLE_WINDOWS_SQL.
+    windows = F.expr(_SHINGLE_WINDOWS_SQL)
     return _with_shingle_hash(
         docs.select(
             "doc_id", F.posexplode(windows).alias("i0", "shingle")

@@ -1885,6 +1885,21 @@ _SHINGLE_CTES = f"""toks AS (
     )"""
 
 
+# Sliding shingle windows over split(text, ' '), GUARDED for short
+# documents: sequence(a, b) counts DOWN when b < a, so an unguarded
+# sequence(1, size-7) on a <8-token doc yields [1, 0, ...] and
+# slice(arr, 0, 8) throws INVALID_PARAMETER_VALUE.START.  The oracle
+# CTE's WHERE len(t) >= 8 passes short docs through with zero
+# shingles; this CASE is the Spark twin of that predicate.  The
+# ELSE branch is cast so both arms type-unify to array<string>.
+_SHINGLE_WINDOWS_SQL = (
+    f"CASE WHEN size(split(text, ' ')) >= {_SHINGLE_W} THEN "
+    f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE_W - 1}),"
+    f" i -> array_join(slice(split(text, ' '), i, {_SHINGLE_W}), ' ')) "
+    f"ELSE CAST(array() AS array<string>) END"
+)
+
+
 # Second-seed column for the 128-bit shingle fingerprint (any fixed
 # int works; appending it to the hash input yields an independent
 # 64-bit stream from the same codegen primitive).
@@ -1926,11 +1941,7 @@ def _doc_shingles(
     downstream plans that never select it shuffle ints only (Catalyst
     prunes it at the Exchange)."""
     docs = load(spark, sf_dir, "documents")
-    windows = F.expr(
-        f"transform(sequence(1, size(split(text, ' ')) - "
-        f"{_SHINGLE_W - 1}), i -> array_join(slice(split(text, ' '),"
-        f" i, {_SHINGLE_W}), ' '))"
-    )
+    windows = F.expr(_SHINGLE_WINDOWS_SQL)
     if pos:
         sh = docs.select(
             "doc_id", F.posexplode(windows).alias("i0", "shingle")

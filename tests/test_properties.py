@@ -2215,7 +2215,12 @@ def test_span_dedup_keep_first_on_synthetic(spark):
     """Hand-checkable synthetic corpus for the keep-first policy:
     doc 1 and doc 2 share the 8-token span S; doc 1 (lowest id) must
     survive VERBATIM including a within-doc repeat of S, doc 2 loses
-    exactly S's tokens, and an all-unique doc 3 passes through."""
+    exactly S's tokens, and an all-unique doc 3 passes through.
+    Docs 4 and 5 are SHORTER than the 8-token window (a duplicated
+    3-token pair, to prove sub-window repeats are not removed) — the
+    unguarded sequence(1, size-7) form crashed on them with
+    INVALID_PARAMETER_VALUE.START (round-11 fix); the oracle's
+    WHERE len(t) >= 8 always passed them through verbatim."""
     from powertrainstreaming_spark.operators.dedup import _span_dedup_core
 
     s = "a b c d e f g h"
@@ -2224,6 +2229,8 @@ def test_span_dedup_keep_first_on_synthetic(spark):
             (1, f"{s} x1 x2 {s}"),
             (2, f"y1 y2 {s}"),
             (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+            (4, "short doc here"),
+            (5, "short doc here"),
         ],
         "doc_id long, text string",
     )
@@ -2236,6 +2243,9 @@ def test_span_dedup_keep_first_on_synthetic(spark):
     assert (got[2].n_tokens, got[2].n_removed) == (10, 8)
     assert got[3].clean_text == "u1 u2 u3 u4 u5 u6 u7 u8 u9"
     assert got[3].n_removed == 0
+    for d in (4, 5):  # <8 tokens: zero shingles, verbatim even if cloned
+        assert got[d].clean_text == "short doc here"
+        assert (got[d].n_tokens, got[d].n_removed) == (3, 0)
 
 
 def test_semantic_cluster_dedup_survivors_and_witnesses(spark):
