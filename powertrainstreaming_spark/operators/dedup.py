@@ -1833,10 +1833,15 @@ def dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Data-efficient learning at web-scale through semantic
     deduplication"): cluster the embedding space with k-means, then
     inside each cluster drop every vector that is ≥ τ cosine-similar
-    to a KEPT vector, where the keep order prefers the vector FARTHEST
-    from its centroid (the paper's diversity-preserving policy — the
-    extreme point represents the semantic neighborhood better than the
-    centroid-hugging copies), tie-broken by vec_id.  Completes the
+    to ANY earlier-keyed vector (kept or itself dropped), where the
+    key order prefers the vector FARTHEST from its centroid (the
+    paper's diversity-preserving policy — the extreme point represents
+    the semantic neighborhood better than the centroid-hugging
+    copies), tie-broken by vec_id.  This ONE-SHOT rule deliberately
+    deviates from the paper's keep-set greedy: on a similarity chain
+    a~b~c with a!~c, greedy keeps {a, c} while one-shot keeps only
+    {a} — one-shot is a single self-join (order-free, scalable);
+    greedy is inherently sequential within a cell.  Completes the
     registered dedup spectrum: exact / minhash / simhash / n-gram /
     embedding-PAIR cosine (LSH-cell-blocked) / embedding-CLUSTER
     (data-adaptive cells) — the cluster form is what production corpus

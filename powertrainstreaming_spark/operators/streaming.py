@@ -403,7 +403,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     API choice: Spark 4's transformWithStateInPandas supersedes this
     API upstream, but its Python driver worker needs google.protobuf
-    (probed in-session, re-confirmed every round 6 through 10 —
+    (probed in-session, re-confirmed every round 6 through 11 —
     google.protobuf still absent:
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, ImportError
     google.protobuf), which this offline container lacks —

@@ -1921,7 +1921,17 @@ def _with_shingle_hash(sh: DataFrame) -> DataFrame:
     grouping by the string unless two distinct shingles collide in
     BOTH independent 64-bit streams — P ≈ n²/2¹²⁹, ~1.5e-15 even at
     n = 10¹² distinct shingles (100 TB tier) — so the DuckDB oracles
-    keep grouping by the raw string, bit-identical."""
+    keep grouping by the raw string, bit-identical.
+
+    Caveat (non-adversarial bound): that P assumes RANDOM input.
+    xxhash64 is non-cryptographic and h2 is a seed-variant of h1 (same
+    primitive, appended constant), not an independent stream, so
+    adversarially crafted text could forge a 128-bit collision far
+    below the birthday bound.  The census ops would miscount one row;
+    the REMOVAL ops (dedup_span_repeated / stream_span_dedup) inherit
+    the key and would silently delete a wrong span.  For a corpus with
+    hostile authors, swap h1/h2 for a keyed cryptographic pair
+    (e.g. two SipHash keys) at ~2-3× hash cost — same plan shape."""
     return sh.withColumn("h1", F.xxhash64("shingle")).withColumn(
         "h2", F.xxhash64("shingle", F.lit(_SHINGLE_SEED2))
     )
