@@ -67,9 +67,19 @@ def sim_round(col: Column, places: int = 6) -> Column:
 def dot_f(vec_a: Column | str, vec_b: Column | str) -> Column:
     """Dot product of two float-array columns, accumulated in double.
 
-    Pure higher-order functions — stays JVM-side inside whole-stage
-    codegen; no Python worker round-trip (100 TB: this is the hot inner
-    loop of every similarity operator).
+    Higher-order functions (zip_with + aggregate fold) — JVM-side, no
+    Python worker round-trip.  HOF lambdas are interpreted, not
+    codegen'd, but a round-11 A/B against a 64-term UNROLLED
+    element_at sum (bit-identical addition order) measured PARITY at
+    the pair-join shape — 0.057 s (fold) vs 0.060 s (unrolled) for 2M
+    pairs × 64 dims at sf0.1 — so the fixed-width dot is NOT the
+    countmin-class per-row-lambda trap (those loop over
+    corpus-proportional strings); the fold's ~2 closure evals per
+    element are noise against the array access itself.  The unrolled
+    form was briefly landed and REVERTED: no measured win, and its
+    128-node trees at 26 call sites inflated retained plan/codegen
+    strings enough to destabilize the shared-JVM test suite (driver
+    heap OOM in the similarity family).  Keep the fold.
     """
     a = F.col(vec_a) if isinstance(vec_a, str) else vec_a
     b = F.col(vec_b) if isinstance(vec_b, str) else vec_b

@@ -1,8 +1,10 @@
 """Similarity-search operators (SURVEY.md §2.11).
 
 Embeddings are unit-normalized (FIXTURES.md), so cosine similarity ≡
-dot product.  All dot products run through ``exprs.dot_f`` — pure
-higher-order functions, JVM-side, no Python workers.
+dot product.  All dot products run through ``exprs.dot_f`` — a
+zip_with/aggregate fold, JVM-side, no Python workers (interpreted,
+not codegen'd, but measured at parity with an unrolled codegen form
+at the pair-join shape — see the dot_f docstring's round-11 A/B).
 
 100 TB design: the brute-force probe scan is O(n) and embarrassingly
 parallel (fine at any scale for a single probe).  All-pairs variants
@@ -471,6 +473,26 @@ _KM_ITERS = 3
 _KM_NPROBE = 4
 
 
+def _adaptive_k(n: int) -> int:
+    """Driver-side twin of ``_adaptive_mod_expr`` for TRAINED cell
+    counts: k = _KM_K · 2^(#_ADAPT_LADDER thresholds exceeded by n),
+    so a trained quantizer's EXPECTED cell size n/k stays ≤
+    _ADAPT_LADDER[0]/_KM_K = 128 at every rung — the SemDeDup "k
+    scales with the corpus" doctrine as exact integer arithmetic
+    (property-tested in tests/test_properties.py).  Driver-side
+    because the consumers are trainers that already run driver-side
+    actions per Lloyd's iteration; n arrives from a .count() on the
+    distinct-rep frame, one extra job before training.  At fixture
+    scale (≤ 2048 distinct embeddings at every SF) k stays pinned at
+    _KM_K = 16, which is what keeps the trained-codebook goldens
+    stable."""
+    k = _KM_K
+    for t in _ADAPT_LADDER:
+        if n > t:
+            k *= 2
+    return k
+
+
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) codebook,
     argmax cosine via a struct-max aggregate — one map-side join plus
@@ -493,11 +515,13 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _train_centroids(
-    spark: SparkSession, emb: DataFrame
+    spark: SparkSession, emb: DataFrame, k: int = _KM_K
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's training.
 
-    Init = the _KM_K smallest vec_ids' embeddings (no RNG).  Each
+    Init = the k smallest vec_ids' embeddings (no RNG; default
+    k = _KM_K, the fixture-pinned codebook size — pass
+    _adaptive_k(n) to scale the cell count with the corpus).  Each
     round: assign (broadcast join, above), then recompute every
     centroid component as an EXACT decimal mean over a
     posexplode → groupBy (cent, pos) aggregate — order-insensitive,
@@ -508,7 +532,7 @@ def _train_centroids(
     init and mini-batch updates keep the identical DataFrame shapes.
     """
     dim = len(emb.select("embedding").first()[0])
-    init = emb.orderBy("vec_id").limit(_KM_K).collect()
+    init = emb.orderBy("vec_id").limit(k).collect()
     cents = [
         (i, [float(x) for x in r.embedding]) for i, r in enumerate(init)
     ]

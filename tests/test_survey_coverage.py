@@ -209,6 +209,8 @@ def test_extras_are_intentional():
         "dedup_span_repeated",
         "dedup_embedding_cluster",
         "stream_span_dedup",
+        # round 11
+        "dedup_span_index_merge",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
