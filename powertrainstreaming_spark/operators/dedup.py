@@ -2039,7 +2039,7 @@ def dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = _sem_reps(emb)
     cents = _train_centroids(spark, reps, k=_adaptive_k(reps.count()))
     cents_df = spark.createDataFrame(cents, "cent_id int, c_emb array<double>")
-    cells = _assign_cells(reps, cents_df)
+    cells = _assign_cells(reps, cents_df, cent_list=cents)
     scored = cells.join(
         F.broadcast(cents_df), cells.cell == cents_df.cent_id
     ).select(

@@ -493,10 +493,33 @@ def _adaptive_k(n: int) -> int:
     return k
 
 
-def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_cells(
+    emb: DataFrame,
+    cents: DataFrame,
+    cent_list: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) codebook,
     argmax cosine via a struct-max aggregate — one map-side join plus
-    one groupBy on vec_id, no row explosion survives the shuffle."""
+    one groupBy on vec_id, no row explosion survives the shuffle.
+
+    At ADAPTIVE codebook sizes (cent_list given AND k > _KM_K — i.e.
+    never on a fixture/golden path), the crossJoin form is replaced by
+    an Arrow-batched GEMM assign (_assign_cells_gemm): the crossJoin
+    materializes n·k rows with an interpreted dot each, and with
+    k ∝ n (the _adaptive_k ladder) that is the NEXT quadratic term
+    after the pair work is fixed — the round-11 perturbed probe
+    measured the 100×/k=2048 trainer at 1351 s, wholly assign-bound.
+    FAISS spends the same n·k FLOPs but at BLAS speed; mapInPandas
+    over the broadcast numpy codebook is the Spark-first equivalent
+    (map-only, no shuffle at all — strictly better than the
+    crossJoin's groupBy).  Tie-break parity: among equal sims the
+    struct-max takes the HIGHEST cent_id; the GEMM path's
+    last-argmax does the same.  Float summation order differs from
+    the fold (BLAS vs sequential), so a vanishingly-near-tie could
+    assign differently — irrelevant on the k > 16 path, which no
+    golden or oracle depends on."""
+    if cent_list is not None and len(cent_list) > _KM_K:
+        return _assign_cells_gemm(emb, cent_list)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
@@ -511,6 +534,44 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return best.select(
         "vec_id", "label", "embedding", F.col("best.cent_id").alias("cell")
+    )
+
+
+def _assign_cells_gemm(
+    emb: DataFrame, cent_list: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Vectorized nearest-centroid assign: one numpy GEMM per Arrow
+    batch against the closure-captured codebook (k × d doubles —
+    model-sized, broadcast with the task closure).  Map-only: no
+    crossJoin, no shuffle, output schema identical to the struct-max
+    form."""
+    import numpy as np
+
+    order = sorted(cent_list)
+    ids = np.array([cid for cid, _ in order], dtype=np.int64)
+    C = np.array([c for _, c in order], dtype=np.float64)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            sims = E @ C.T
+            # last-argmax = highest cent_id among ties (struct-max parity)
+            best = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "embedding": pdf["embedding"],
+                    "cell": ids[best].astype("int32"),
+                }
+            )
+
+    return emb.mapInPandas(
+        assign, schema="vec_id bigint, label int, embedding array<float>, cell int"
     )
 
 
@@ -530,6 +591,9 @@ def _train_centroids(
     (k × dim doubles): collecting it to the driver is O(1) in the
     data, the same at 100 TB as at sf0.001.  Scale-up swaps: k-means||
     init and mini-batch updates keep the identical DataFrame shapes.
+    At adaptive k (> _KM_K) each iteration's assign runs the GEMM path
+    (see _assign_cells) — the round-11 probe measured the crossJoin
+    trainer at 1351 s for k = 2048 × 200k vectors, assign-bound.
     """
     dim = len(emb.select("embedding").first()[0])
     init = emb.orderBy("vec_id").limit(k).collect()
@@ -539,7 +603,7 @@ def _train_centroids(
     schema = "cent_id int, c_emb array<double>"
     for _ in range(_KM_ITERS):
         cents_df = spark.createDataFrame(cents, schema)
-        assigned = _assign_cells(emb, cents_df)
+        assigned = _assign_cells(emb, cents_df, cent_list=cents)
         comp = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")

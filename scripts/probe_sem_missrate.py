@@ -60,7 +60,7 @@ def measure(spark, sf_dir: str) -> dict:
     cents = sim._train_centroids(spark, reps, k=sim._adaptive_k(reps.count()))
     cents_df = spark.createDataFrame(cents, "cent_id int, c_emb array<double>")
     rows = (
-        sim._assign_cells(reps, cents_df)
+        sim._assign_cells(reps, cents_df, cent_list=cents)
         .join(F.broadcast(cents_df), F.col("cell") == F.col("cent_id"))
         .select(
             "vec_id",

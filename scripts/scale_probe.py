@@ -566,7 +566,11 @@ def main_semdedup() -> None:
         k = k_fn(n)
         cents = sim._train_centroids(spark, reps, k=k)
         cents_df = spark.createDataFrame(cents, "cent_id int, c_emb array<double>")
-        hist = sim._assign_cells(reps, cents_df).groupBy("cell").count()
+        hist = (
+            sim._assign_cells(reps, cents_df, cent_list=cents)
+            .groupBy("cell")
+            .count()
+        )
         pairs = hist.agg(
             F.sum(F.col("count") * (F.col("count") - 1) / 2)
         ).collect()[0][0]

@@ -2412,6 +2412,32 @@ def test_semantic_cluster_exact_collapse_on_cloned_corpus(spark):
     assert all(orig[r.vec_id] == r.label for r in reps)
 
 
+def test_gemm_assign_matches_structmax_assign(spark):
+    """_assign_cells_gemm (the adaptive-k fast path) must produce the
+    identical (vec_id → cell) map as the crossJoin/struct-max form on
+    the same codebook — including the tie-break (highest cent_id on
+    equal sims = last-argmax).  Driven with a k = 20 trained codebook
+    (> _KM_K, the gate that enables the path in production) over the
+    sf0.001 embeddings; centroids are well separated so a last-ulp
+    summation-order difference cannot flip an argmax."""
+    from powertrainstreaming_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_gemm,
+        _train_centroids,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = _train_centroids(spark, emb, k=20)
+    cents_df = spark.createDataFrame(cents, "cent_id int, c_emb array<double>")
+    slow = {
+        r.vec_id: r.cell for r in _assign_cells(emb, cents_df).collect()
+    }
+    fast = {
+        r.vec_id: r.cell for r in _assign_cells_gemm(emb, cents).collect()
+    }
+    assert slow == fast
+
+
 @given(st.integers(min_value=1, max_value=10**12))
 @settings(max_examples=300, deadline=None)
 def test_adaptive_k_bounds_expected_cell_size(n):
