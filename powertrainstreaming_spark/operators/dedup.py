@@ -2073,3 +2073,118 @@ def dedup_embedding_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(drops, "vec_id", "left_anti").select(
         "vec_id", "label", "cell", "c_sim"
     )
+
+
+@query("dedup_embedding_cluster_mp", oracle=None, tier="P2")
+def dedup_embedding_cluster_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup: `dedup_embedding_cluster` with every
+    vector probing its TWO nearest k-means cells, so a ≥ τ pair whose
+    members straddle one cell boundary still shares a witness block —
+    the `sim_pair_multiprobe` recall idea applied to trained cells.
+    Registered because the round-11 miss-rate receipt (docs/SCALE.md)
+    measured the single-cell miss as MATERIAL on the fixtures: 73-80%
+    of exhaustive ≥ τ pairs straddle cells and 63-83% of the base op's
+    survivors keep an earlier-keyed cross-cell witness.  SemDeDup
+    accepts that miss for throughput; this variant halves the
+    boundary blind spot for exactly 2× the assign/join width —
+    FAISS's own nprobe trade, here at nprobe = 2.
+
+    Same policy as the base op, wider candidate view: key order is
+    (c_sim to the PRIMARY centroid, vec_id) — identical to the base
+    op's, since _assign_cells_top2's `cell` matches _assign_cells
+    bit-for-bit — and vector b is dropped iff SOME vector a sharing
+    ANY of the two probe cells has an earlier key and cos(a, b) ≥ τ.
+    The candidate set is a SUPERSET of the base op's (same primary
+    cell ⇒ shared probe cell), and one-shot drops are monotone in the
+    candidate relation, so survivors(mp) ⊆ survivors(base) — asserted
+    as a property test, along with τ-consistency across shared probe
+    blocks.
+
+    Plan: collapse → train → top-2 assign (broadcast crossJoin at
+    fixture k; GEMM at adaptive k — see _assign_cells_top2), explode
+    each vector to its ≤ 2 probe cells, ONE equi-join on the probe
+    cell (plan-asserted never-cartesian).  Blow-up bound: candidate
+    rows ≤ Σ over cells of (|cell| + |2nd-probe members|)² ≈ 4× the
+    base op's Σ|cell|², still linear in n under the _adaptive_k
+    ladder.  A pair sharing BOTH probe cells would surface twice, so
+    the join emits each pair from its LOWEST shared cell only — the
+    minhash first-match-band discipline, unrolled to scalar
+    comparisons per the CLAUDE.md lambda rule (a_c1/a_c2 ride the
+    probe rows as plain int columns).  Rows-only t2 check (trained
+    centroids are data-dependent); correctness carried by the
+    property suite + golden snapshot.
+    """
+    from powertrainstreaming_spark.functions.exprs import dot_f, sim_round
+    from powertrainstreaming_spark.operators.similarity import (
+        _adaptive_k,
+        _assign_cells_top2,
+        _train_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    reps = _sem_reps(emb)
+    cents = _train_centroids(spark, reps, k=_adaptive_k(reps.count()))
+    cents_df = spark.createDataFrame(cents, "cent_id int, c_emb array<double>")
+    cells = _assign_cells_top2(reps, cents_df, cent_list=cents)
+    scored = cells.join(
+        F.broadcast(cents_df), cells.cell == cents_df.cent_id
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cell",
+        "cell2",
+        sim_round(dot_f("embedding", "c_emb")).alias("c_sim"),
+    )
+    probes = scored.select(
+        "vec_id",
+        "cell",
+        "cell2",
+        "c_sim",
+        "embedding",
+        F.explode(F.array("cell", "cell2")).alias("pcell"),
+    )
+    a = probes.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").alias("a_c1"),
+        F.col("cell2").alias("a_c2"),
+        F.col("c_sim").alias("a_key"),
+        F.col("embedding").alias("a_emb"),
+        F.col("pcell").alias("a_pcell"),
+    )
+    b = probes.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_c1"),
+        F.col("cell2").alias("b_c2"),
+        F.col("c_sim").alias("b_key"),
+        F.col("embedding").alias("b_emb"),
+        F.col("pcell").alias("b_pcell"),
+    )
+    earlier = (F.col("a_key") < F.col("b_key")) | (
+        (F.col("a_key") == F.col("b_key")) & (F.col("a_id") < F.col("b_id"))
+    )
+    # First-match-cell: emit the pair from its lowest shared probe cell
+    # only (no shared cell below this row's — unrolled scalars, no
+    # higher-order lambda on the pair stream).
+    no_lower_shared = ~(
+        (
+            (F.col("a_c1") < F.col("a_pcell"))
+            & ((F.col("a_c1") == F.col("b_c1")) | (F.col("a_c1") == F.col("b_c2")))
+        )
+        | (
+            (F.col("a_c2") < F.col("a_pcell"))
+            & ((F.col("a_c2") == F.col("b_c1")) | (F.col("a_c2") == F.col("b_c2")))
+        )
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a_pcell") == F.col("b_pcell")) & earlier & no_lower_shared,
+        )
+        .filter(sim_round(dot_f("a_emb", "b_emb")) >= _EMB_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return scored.join(drops, "vec_id", "left_anti").select(
+        "vec_id", "label", "cell", "cell2", "c_sim"
+    )

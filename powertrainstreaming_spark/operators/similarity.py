@@ -575,6 +575,88 @@ def _assign_cells_gemm(
     )
 
 
+def _assign_cells_top2(
+    emb: DataFrame,
+    cents: DataFrame,
+    cent_list: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """TWO-nearest-centroid assignment — the multi-probe twin of
+    ``_assign_cells`` for `dedup_embedding_cluster_mp`: same codebook,
+    same key discipline, but every vector also carries its
+    SECOND-nearest cell so a τ-pair straddling one k-means boundary
+    still shares a probe block (the `sim_pair_multiprobe` idea applied
+    to trained cells; the round-11 miss-rate receipt in docs/SCALE.md
+    measured 73-80% of exhaustive ≥ τ pairs straddling single cells on
+    the fixtures, which is what this assignment exists to recover).
+
+    `cell` is IDENTICAL to ``_assign_cells``' choice — descending
+    (c_sim, cent_id) struct order, so ties take the highest cent_id —
+    which keeps the mp op's key order (c_sim to the PRIMARY centroid,
+    vec_id) aligned with the base op's.  `cell2` is the next struct in
+    that order; k ≥ 2 always (k starts at _KM_K), so it exists.
+    Fixture path (k ≤ _KM_K): one broadcast crossJoin + a
+    collect_list/array_sort top-2 per vec — the k-struct array is
+    codebook-sized, never corpus-sized.  Adaptive path (k > _KM_K):
+    the GEMM assign's stable-ascending argsort, last two columns —
+    identical tie-break by construction (stable ascending sort leaves
+    equal sims in ascending cent-index order, so the tail is the
+    highest cent_id)."""
+    if cent_list is not None and len(cent_list) > _KM_K:
+        import numpy as np
+
+        order = sorted(cent_list)
+        ids = np.array([cid for cid, _ in order], dtype=np.int64)
+        C = np.array([c for _, c in order], dtype=np.float64)
+
+        def assign2(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                sims = E @ C.T
+                rank = np.argsort(sims, axis=1, kind="stable")
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "label": pdf["label"],
+                        "embedding": pdf["embedding"],
+                        "cell": ids[rank[:, -1]].astype("int32"),
+                        "cell2": ids[rank[:, -2]].astype("int32"),
+                    }
+                )
+
+        return emb.mapInPandas(
+            assign2,
+            schema=(
+                "vec_id bigint, label int, embedding array<float>, "
+                "cell int, cell2 int"
+            ),
+        )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        dot_f("embedding", "c_emb").alias("c_sim"),
+    )
+    best2 = scored.groupBy("vec_id").agg(
+        F.reverse(
+            F.array_sort(F.collect_list(F.struct("c_sim", "cent_id")))
+        ).alias("ranked"),
+        F.first("label").alias("label"),
+        F.first("embedding").alias("embedding"),
+    )
+    return best2.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("ranked")[0]["cent_id"].alias("cell"),
+        F.col("ranked")[1]["cent_id"].alias("cell2"),
+    )
+
+
 def _train_centroids(
     spark: SparkSession, emb: DataFrame, k: int = _KM_K
 ) -> list[tuple[int, list[float]]]:

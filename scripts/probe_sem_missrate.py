@@ -38,7 +38,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def measure(spark, sf_dir: str) -> dict:
+def measure(spark, sf_dir: str, op=None) -> dict:
     from pyspark.sql import functions as F
 
     import powertrainstreaming_spark.operators.similarity as sim
@@ -52,7 +52,7 @@ def measure(spark, sf_dir: str) -> dict:
 
     survivors = {
         r.vec_id
-        for r in dedup_embedding_cluster(spark, sf_dir)
+        for r in (op or dedup_embedding_cluster)(spark, sf_dir)
         .select("vec_id")
         .collect()
     }
@@ -115,20 +115,30 @@ def main() -> None:
         "survivor_miss = survivors a GLOBAL one-shot rule would also drop",
         "(the user-visible residue).",
         "",
-        "| fixture | reps | k | ≥τ pairs | cross-cell | pair miss | survivors | missed | survivor miss |",
+        "| fixture/op | reps | k | ≥τ pairs | cross-cell | pair miss | survivors | missed | survivor miss |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
+    from powertrainstreaming_spark.operators.dedup import (
+        dedup_embedding_cluster,
+        dedup_embedding_cluster_mp,
+    )
+
+    ops = {
+        "base": dedup_embedding_cluster,
+        "mp": dedup_embedding_cluster_mp,
+    }
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
-        m = measure(spark, sf)
-        line = (
-            f"| {os.path.basename(sf)} | {m['n_reps']} | {m['k']} | "
-            f"{m['tau_pairs']} | {m['cross_cell_tau_pairs']} | "
-            f"{m['pair_miss_rate']:.3f} | {m['survivors']} | "
-            f"{m['cross_cell_missed_survivors']} | "
-            f"{m['survivor_miss_rate']:.3f} |"
-        )
-        lines.append(line)
-        print(line, flush=True)
+        for arm, op in ops.items():
+            m = measure(spark, sf, op=op)
+            line = (
+                f"| {os.path.basename(sf)} {arm} | {m['n_reps']} | {m['k']} | "
+                f"{m['tau_pairs']} | {m['cross_cell_tau_pairs']} | "
+                f"{m['pair_miss_rate']:.3f} | {m['survivors']} | "
+                f"{m['cross_cell_missed_survivors']} | "
+                f"{m['survivor_miss_rate']:.3f} |"
+            )
+            lines.append(line)
+            print(line, flush=True)
     with open("docs/SCALE.md", "a") as f:
         f.write("\n".join(lines) + "\n")
 

@@ -10,6 +10,7 @@ wall-clock but fatal at scale — so it's asserted, not eyeballed.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from powertrainstreaming_spark.plans.registry import all_defs
@@ -443,16 +444,20 @@ def test_shingle_census_shuffles_key_on_fingerprint_not_string(spark):
             assert names <= {"h1", "h2", "doc_id"}, (name, line)
 
 
-def test_semantic_cluster_dedup_cell_blocked_never_cartesian(spark):
-    """dedup_embedding_cluster's pair work must be confined to k-means
-    cells: no CartesianProduct, and the only nested-loop build sides
-    are the model-sized codebook (a driver-built LocalTableScan of
-    _KM_K rows) — never a corpus-scaled input.  The within-cell pair
-    join itself must carry the cell as an equi-key."""
+@pytest.mark.parametrize(
+    "name", ["dedup_embedding_cluster", "dedup_embedding_cluster_mp"]
+)
+def test_semantic_cluster_dedup_cell_blocked_never_cartesian(spark, name):
+    """The semantic-dedup ops' pair work must be confined to k-means
+    cells (the mp variant: probe cells): no CartesianProduct, and the
+    only nested-loop build sides are the model-sized codebook (a
+    driver-built LocalTableScan of _KM_K rows) — never a corpus-scaled
+    input.  The pair join itself must carry the (probe) cell as an
+    equi-key."""
     import re
 
     plan = _plan(
-        all_defs()["dedup_embedding_cluster"].fn(spark, SF),
+        all_defs()[name].fn(spark, SF),
         "simple",
         final=True,
     )
@@ -485,3 +490,10 @@ def test_semantic_cluster_dedup_cell_blocked_never_cartesian(spark):
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[[^\]]*cell",
         final_plan,
     ), "pair join lost its cell equi-key"
+    if name.endswith("_mp"):
+        # the probe-cell equi-join is the one that must survive
+        assert re.search(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+            r"\[[^\]]*pcell",
+            final_plan,
+        ), "mp pair join lost its probe-cell equi-key"

@@ -2438,6 +2438,69 @@ def test_gemm_assign_matches_structmax_assign(spark):
     assert slow == fast
 
 
+def test_semantic_mp_survivors_subset_and_tau_consistent(spark):
+    """dedup_embedding_cluster_mp's three contracts, checked against
+    the base op and a driver-side recomputation at sf0.001:
+    1. Monotonicity: survivors(mp) ⊆ survivors(base) — the candidate
+       relation is a superset (same primary cell ⇒ shared probe cell)
+       and one-shot drops are monotone in it.
+    2. Primary parity: every vector's `cell` (and key order) equals
+       the base assignment's — _assign_cells_top2 vs _assign_cells.
+    3. τ-consistency across probe blocks: no two mp SURVIVORS sharing
+       ANY probe cell are ≥ τ similar (the later-keyed one would have
+       been dropped via their shared block)."""
+    import numpy as np
+
+    from powertrainstreaming_spark.operators.dedup import (
+        _EMB_TAU,
+        _sem_reps,
+        dedup_embedding_cluster,
+        dedup_embedding_cluster_mp,
+    )
+    from powertrainstreaming_spark.operators.similarity import (
+        _adaptive_k,
+        _assign_cells,
+        _train_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.vec_id: r.cell
+        for r in dedup_embedding_cluster(spark, sf)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    mp_rows = dedup_embedding_cluster_mp(spark, sf).collect()
+    survivors_mp = {r.vec_id for r in mp_rows}
+    assert survivors_mp <= set(base)  # 1. monotone under wider probes
+    assert len(survivors_mp) < len(base)  # and strictly prunes more here
+    assert all(base[r.vec_id] == r.cell for r in mp_rows)  # 2. parity
+
+    reps = _sem_reps(load(spark, sf, "embeddings"))
+    cents = _train_centroids(spark, reps, k=_adaptive_k(reps.count()))
+    cents_df = spark.createDataFrame(
+        cents, "cent_id int, c_emb array<double>"
+    )
+    prim = {
+        r.vec_id: r.cell for r in _assign_cells(reps, cents_df).collect()
+    }
+    emb_by_id = {
+        r.vec_id: np.array(r.embedding)
+        for r in reps.select("vec_id", "embedding").collect()
+    }
+    probe_sets = {
+        r.vec_id: {r.cell, r.cell2} for r in mp_rows
+    }
+    assert all(prim[r.vec_id] == r.cell for r in mp_rows)
+    surv = sorted(survivors_mp)
+    eps = 1e-9
+    for i, u in enumerate(surv):
+        for v in surv[i + 1 :]:
+            if probe_sets[u] & probe_sets[v]:
+                cos = round(float(np.dot(emb_by_id[u], emb_by_id[v])), 6)
+                assert cos < _EMB_TAU + eps, (u, v, cos)  # 3.
+
+
 @given(st.integers(min_value=1, max_value=10**12))
 @settings(max_examples=300, deadline=None)
 def test_adaptive_k_bounds_expected_cell_size(n):

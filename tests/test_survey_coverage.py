@@ -211,6 +211,7 @@ def test_extras_are_intentional():
         "stream_span_dedup",
         # round 11
         "dedup_span_index_merge",
+        "dedup_embedding_cluster_mp",
     }, f"unexpected extras: {sorted(extras - SURVEY_KEYS)}"
 
 
