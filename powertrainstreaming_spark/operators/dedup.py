@@ -280,6 +280,22 @@ def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
     1.0 — the value the oracle's arithmetic produces (i = na = nb ⇒
     round(i/(na+nb−i), 6) = 1.0).
     """
+    return _verify_cross(cands, grp).unionAll(_within_pairs(grp))
+
+
+def _verify_cross(cands: DataFrame, grp: DataFrame) -> DataFrame:
+    """The cross-group half of ``_verify_expand``: verify + member
+    expansion for representative candidate pairs only.  Split out
+    (round 11) so the single-host scale path can run it in sequential
+    hash-chunks of the candidate stream — the verify joins' shuffle is
+    the resource that killed the 1000× probe in a spill-merge
+    transient, and it is exactly 1/K per chunk because every shuffled
+    byte downstream of ``cands`` is candidate-pair-proportional.  The
+    chunk union is the whole output by construction (a pmod partition
+    of ``cands`` partitions the emitted pairs); scripts/
+    probe_minhash_verify.py asserts the union bit-equal to the
+    one-shot plan at the 10× tier before any big-tier run books a
+    number."""
     ga = grp.select(
         F.col("rep").alias("doc_a"),
         F.col("codes").alias("codes_a"),
@@ -291,7 +307,7 @@ def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
         F.col("members").alias("members_b"),
     )
     i = F.size(F.array_intersect("codes_a", "codes_b"))
-    cross = (
+    return (
         cands.join(ga.hint("shuffle_hash"), "doc_a")
         .join(gb.hint("shuffle_hash"), "doc_b")
         .select(
@@ -316,7 +332,14 @@ def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
             "jaccard",
         )
     )
-    within = (
+
+
+def _within_pairs(grp: DataFrame) -> DataFrame:
+    """Within-group member pairs at literal 1.0 — the other half of
+    ``_verify_expand``, computed ONCE regardless of how the cross
+    verify is chunked (folding it into a chunked loop would emit every
+    within-group pair K times)."""
+    return (
         grp.filter(F.col("m") >= 2)
         .select(F.explode("members").alias("ma"), "members")
         .select("ma", F.explode("members").alias("mb"))
@@ -327,7 +350,6 @@ def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionAll(within)
 
 
 def _tau_pairs(toks: DataFrame) -> DataFrame:
@@ -668,6 +690,20 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extrapolation to ~43 GB against the 79 GB quota — the tier the
     round-8/9 attempts died on; docs/SCALE.md carries the 1000× row.
     """
+    cands, grp = _minhash_rep_candidates(spark, sf_dir)
+    return _verify_expand(cands, grp)
+
+
+def _minhash_rep_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, grp) — the collapse → band → first-match-band
+    front half of ``dedup_near_minhash``, split out (round 11) so the
+    single-host scale path can materialize the (int, int) candidate
+    pair stream once and verify it in sequential hash-chunks
+    (``_verify_cross``) without re-running the band join per chunk.
+    The registered op composes the two halves back into the identical
+    one-shot plan."""
     toks = _doc_tokens(spark, sf_dir)
     grp = _collapse_sets(toks, "minhash")
     rep_h = grp.select(
@@ -714,7 +750,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM)
         & first_match,
     ).select("doc_a", "doc_b")
-    return _verify_expand(candidates, grp)
+    return candidates, grp
 
 
 _EMB_TAU = 0.3  # ~p99 of the within-label cosine distribution [MEASURED]

@@ -21,6 +21,21 @@ Usage — TWO invocations, not one (probe-hygiene rule):
     python scripts/probe_minhash_verify.py                    # phase 1 only
     python scripts/probe_minhash_verify.py --skip-candidates  # phase 2 only
 
+Round 11 adds the CHUNKED-VERIFY scale path (the round-10 verdict's
+task #6): the 1000× one-shot run dies in a shuffle-spill MERGE — the
+merge needs the spill files plus the merged copy simultaneously, so
+the ~43 GB steady-state verify shuffle still overruns the 79 GB
+scratch quota in its transient.  Because every shuffled byte
+downstream of the candidate stream is candidate-pair-proportional,
+verifying the stream in K sequential pmod-hash chunks caps the
+transient at ~1/K of the one-shot run; the chunk union is the whole
+output by construction (a pmod partition of candidates partitions the
+emitted pairs), and the within-group 1.0-pairs are computed once
+outside the loop.  Two more invocations:
+
+    python scripts/probe_minhash_verify.py --chunked-equiv    # 10x: union == one-shot, bit-equal
+    python scripts/probe_minhash_verify.py --chunked-1000 [K] # the 1000x tier, df-monitored
+
 Phase 1 (candidate decomposition) runs spill-heavy counting joins; a
 df-monitored timed run launched in the SAME JVM right after it reads
 inflated (the CLAUDE.md fresh-JVM/settled-host trap, measured up to
@@ -93,6 +108,15 @@ def main() -> None:
     )
     from powertrainstreaming_spark.plans.registry import all_defs
     from powertrainstreaming_spark.session import get_spark
+
+    if "--chunked-equiv" in sys.argv:
+        _chunked_equiv()
+        return
+    if "--chunked-1000" in sys.argv:
+        i = sys.argv.index("--chunked-1000")
+        k = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 8
+        _chunked_1000(k)
+        return
 
     _stage_into(_STAGE10, 10)
     _stage_into(_STAGE100, 100)
@@ -186,6 +210,143 @@ def _timed_run(spark) -> None:
     print(
         f"| dedup_near_minhash 100x | {wall:.1f} s | {rows} rows | "
         f"peak scratch delta {peak / 1e9:.1f} GB |",
+        flush=True,
+    )
+
+
+def _run_chunked(spark, sf_dir: str, k: int) -> tuple[int, list[int]]:
+    """Materialize the candidate stream once (parquet, partitioned by
+    pmod chunk so each pass is partition-pruned), then verify chunk by
+    chunk, forcing shuffle-file GC between chunks so a completed
+    chunk's scratch is reclaimed before the next begins.  Returns
+    (total_rows, per_chunk_rows).  A deployment would point each
+    chunk's write at its real sink; counting stands in for the sink
+    here without changing any shuffle."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from powertrainstreaming_spark.operators.dedup import (
+        _minhash_rep_candidates,
+        _verify_cross,
+        _within_pairs,
+    )
+
+    cand_dir = os.path.join(
+        tempfile.gettempdir(), f"pts_minhash_cands_{os.getpid()}"
+    )
+    cands, grp = _minhash_rep_candidates(spark, sf_dir)
+    (
+        cands.withColumn(
+            "chunk", F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(k))
+        )
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(cand_dir)
+    )
+    stored = spark.read.parquet(cand_dir)
+    n_cands = stored.count()
+    print(f"candidates materialized: {n_cands} rows, K={k}", flush=True)
+    per_chunk: list[int] = []
+    total = _within_pairs(grp).count()
+    for c in range(k):
+        t0 = time.perf_counter()
+        chunk = stored.filter(F.col("chunk") == c).select("doc_a", "doc_b")
+        rows = _verify_cross(chunk, grp).count()
+        per_chunk.append(rows)
+        total += rows
+        # Drop the chunk's plan references and ask the ContextCleaner
+        # to reclaim its shuffle files before the next chunk starts —
+        # this is what keeps the peak at ~1/K.
+        del chunk
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        print(
+            f"  chunk {c}: {rows} pairs in "
+            f"{time.perf_counter() - t0:.1f} s",
+            flush=True,
+        )
+    shutil.rmtree(cand_dir, ignore_errors=True)
+    return total, per_chunk
+
+
+def _chunked_equiv() -> None:
+    """10× correctness gate for the chunked path: the K-chunk union
+    (plus within-pairs) must equal the registered one-shot plan's
+    output EXACTLY — both directions of exceptAll empty on the full
+    (doc_a, doc_b, jaccard) rows."""
+    from powertrainstreaming_spark.plans.registry import all_defs
+    from powertrainstreaming_spark.session import get_spark
+
+    _stage_into(_STAGE10, 10)
+    spark = get_spark(app_name="pts-minhash-chunk-equiv")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+
+    from pyspark.sql import functions as F
+
+    from powertrainstreaming_spark.operators.dedup import (
+        _minhash_rep_candidates,
+        _verify_cross,
+        _within_pairs,
+    )
+
+    k = 4
+    cands, grp = _minhash_rep_candidates(spark, _STAGE10)
+    cands = cands.localCheckpoint()
+    parts = [
+        _verify_cross(
+            cands.filter(
+                F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(k)) == c
+            ),
+            grp,
+        )
+        for c in range(k)
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionAll(p)
+    union = union.unionAll(_within_pairs(grp)).localCheckpoint()
+    one_shot = all_defs()["dedup_near_minhash"].fn(
+        spark, _STAGE10
+    ).localCheckpoint()
+    a, b = union.exceptAll(one_shot).count(), one_shot.exceptAll(union).count()
+    n_u, n_o = union.count(), one_shot.count()
+    assert a == 0 and b == 0 and n_u == n_o, (a, b, n_u, n_o)
+    print(
+        f"chunked-equiv 10x: OK — {n_u} rows, K={k}, "
+        f"exceptAll both directions 0",
+        flush=True,
+    )
+
+
+def _chunked_1000(k: int) -> None:
+    """The 1000× tier under the chunked verify, df-monitored — the
+    top-rung receipt the one-shot plan cannot book on this host."""
+    from scale_probe import _STAGE1000, stage_10x
+
+    from powertrainstreaming_spark.session import get_spark
+
+    _stage_into(_STAGE10, 10)
+    if not os.path.isdir(_STAGE1000):
+        tmp = stage_10x(copies=1000, tables=["documents"])
+        os.rename(tmp, _STAGE1000)
+    spark = get_spark(app_name="pts-minhash-chunked-1000x")
+    spark.conf.set("spark.sql.shuffle.partitions", "640")
+    # Warm codegen on the 10x tier (plan-keyed, same as main_1000x).
+    from powertrainstreaming_spark.plans.registry import all_defs
+
+    all_defs()["dedup_near_minhash"].fn(spark, _STAGE10).count()
+
+    mon = DfMonitor(tempfile.gettempdir())
+    mon.start()
+    t0 = time.perf_counter()
+    total, per_chunk = _run_chunked(spark, _STAGE1000, k)
+    wall = time.perf_counter() - t0
+    peak = mon.stop()
+    print(
+        f"| dedup_near_minhash 1000x chunked K={k} | {wall:.1f} s | "
+        f"{total} rows | peak scratch delta {peak / 1e9:.1f} GB | "
+        f"chunks {per_chunk} |",
         flush=True,
     )
 

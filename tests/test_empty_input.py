@@ -32,6 +32,7 @@ _NEEDS_ROWS = {
     "sim_pq_adc",  # trains per-subspace codebooks from corpus rows
     "sim_knn_ivf_pq",  # trains coarse + residual codebooks from rows
     "dedup_embedding_cluster",  # trains k-means cells from corpus rows
+    "dedup_embedding_cluster_mp",  # same trainer, 2-probe assign
 }
 
 
