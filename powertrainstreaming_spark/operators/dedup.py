@@ -689,6 +689,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical.  That halves the candidate-linear 1000×
     extrapolation to ~43 GB against the 79 GB quota — the tier the
     round-8/9 attempts died on; docs/SCALE.md carries the 1000× row.
+
+    [MEASURED, round 11 — probe_minhash_verify.py --chunked-1000] The
+    1000× tier LANDED under the chunked verify: the candidate stream
+    (454,235,264 pairs, 9.73× the 100× count) materialized once as
+    pmod-partitioned parquet, verified in K=8 sequential chunks with
+    shuffle GC between — 888.0 s, 190,886,389 rows = 10.018× the 100×
+    output (exactly copy-linear), peak scratch 20.2 GB vs the 79 GB
+    quota that killed every one-shot attempt; µs/row 4.65 vs 4.40 at
+    700× (flat through the top rung).  The chunk union is proven
+    bit-equal to this one-shot plan at 10× (--chunked-equiv).  At
+    cluster scale no chunking is needed (~60-70 MB/executor); K is the
+    single-host knob trading ~10-15% wall for a 1/K transient bound.
     """
     cands, grp = _minhash_rep_candidates(spark, sf_dir)
     return _verify_expand(cands, grp)
