@@ -616,8 +616,96 @@ def main_semdedup() -> None:
         )
 
 
+def main_semdedup_mp() -> None:
+    """Perturbed-tier receipt for `dedup_embedding_cluster_mp` — the
+    round-11 registration's scale claim, measured: multi-probe's join
+    work is Σ over PROBE cells of C(|pcell|, 2) (every vector sits in
+    its top-2 cells, so the bound is ≤ 4× the base op's Σ C(|cell|,2);
+    pairs sharing both probe cells are generated in two buckets but
+    emitted once via the first-match filter).  Same staged distinct-
+    growth tiers as main_semdedup; per tier: the exact probe-cell
+    candidate count under adaptive k, the base op's count for the same
+    trained codebook, and the mp op's wall/output.
+
+        python scripts/scale_probe.py semdedup-mp
+    """
+    import powertrainstreaming_spark.operators.similarity as sim
+    from powertrainstreaming_spark.operators.dedup import _sem_reps
+    from powertrainstreaming_spark.plans.registry import all_defs
+    from powertrainstreaming_spark.session import get_spark
+    from powertrainstreaming_spark.sources.loaders import load
+
+    from pyspark.sql import functions as F
+
+    stages = {1: SRC}
+    for n in (10, 100):
+        path = os.path.join(tempfile.gettempdir(), f"pts_tier_stage{n}p")
+        if not os.path.isdir(path):
+            tmp = stage_10x(
+                copies=n, tables=["embeddings"], perturb_embeddings=True
+            )
+            os.rename(tmp, path)
+        stages[n] = path
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(app_name="pts-semdedup-mp-probe")
+    fn = all_defs()["dedup_embedding_cluster_mp"].fn
+
+    lines = []
+    for copies, sf_dir in stages.items():
+        parts = {1: 32, 10: 64, 100: 640}[copies]
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        reps = _sem_reps(load(spark, sf_dir, "embeddings"))
+        n = reps.count()
+        k = sim._adaptive_k(n)
+        cents = sim._train_centroids(spark, reps, k=k)
+        cents_df = spark.createDataFrame(
+            cents, "cent_id int, c_emb array<double>"
+        )
+        top2 = sim._assign_cells_top2(reps, cents_df, cent_list=cents)
+        base_pairs = int(
+            sim._assign_cells(reps, cents_df, cent_list=cents)
+            .groupBy("cell")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+        mp_pairs = int(
+            top2.select(
+                F.explode(F.array("cell", "cell2")).alias("pcell")
+            )
+            .groupBy("pcell")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()
+        wall = time.perf_counter() - t0
+        line = (
+            f"| {copies}×p | {n} | {k} | {base_pairs} | {mp_pairs} | "
+            f"{mp_pairs / max(base_pairs, 1):.2f}× | {wall:.2f} | {rows} |"
+        )
+        lines.append(line)
+        print(line, flush=True)
+    with open("docs/SCALE.md", "a") as f:
+        f.write(
+            "\n## Multi-probe semantic dedup on PERTURBED tiers (round 11)\n\n"
+            "The `dedup_embedding_cluster_mp` registration's scale bound,\n"
+            "measured on distinct growth: mp's join work is Σ over probe\n"
+            "cells of C(|pcell|,2) with every vector in its top-2 cells —\n"
+            "docstring bound ≤ 4× the base op's Σ C(|cell|,2) under the same\n"
+            "adaptive-k codebook.  Wall is the registered mp op end-to-end\n"
+            "(its own train + top-2 GEMM assign + first-match join).\n\n"
+            "| tier | n reps | k | base pairs | mp pairs | ratio | mp wall (s) | out rows |\n"
+            "|---|---|---|---|---|---|---|---|\n" + "\n".join(lines) + "\n"
+        )
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup-mp":
+        main_semdedup_mp()
+    elif len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         main_semdedup()
     elif len(sys.argv) > 1 and sys.argv[1] == "100":
         main_100x(sys.argv[2] if len(sys.argv) > 2 else None)
