@@ -1514,6 +1514,10 @@ def corpus_quality_gate_threshold(spark: SparkSession, sf_dir: str) -> DataFrame
 # Fuzzy decontamination: MinHash-LSH near-match removal vs the eval set
 
 _FUZZY_DECONTAM_TAU = 0.9  # flag a training doc near-matching eval >= this
+# EXACT-INT size-ratio prune operands (the _JAC_TAU_NUM discipline:
+# float forms like floor((1-tau)*n) evaluate low at decade boundaries).
+_FUZZY_TAU_NUM, _FUZZY_TAU_DEN = 9, 10
+assert _FUZZY_TAU_NUM / _FUZZY_TAU_DEN == _FUZZY_DECONTAM_TAU
 
 
 def _fuzzy_decontam_oracle() -> str:
@@ -1565,9 +1569,17 @@ def corpus_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k=32, 4×8 — the shared _MINHASH_SIG_CTES family) computed ONCE
     PER DISTINCT SET from the stored code arrays (h = code div 2³¹
     recovers the primary hash bit-exactly — no re-tokenization pass);
-    (3) candidates = band-signature equi-join between train-bearing
-    and eval-bearing groups — never an all-pairs product; (4) exact
-    verify on the packed code arrays (array_intersect, |pairs| rows);
+    (3) candidates = band-signature equi-join under the FIRST-MATCH-
+    BAND discipline (round 11, back-ported from dedup_near_minhash:
+    earlier bands' signatures ride as b−1 scalar columns, a joined row
+    survives only if no earlier band also matches — exactly-once
+    emission, no pair-stream .distinct() exchange) with THREE lossless
+    prunes in the join condition: the EXACT-INT size-ratio bound
+    (9·max ≤ 10·min, the _JAC_TAU_NUM discipline), and bears-train/
+    bears-eval flags so only pairs that can expand to a (train, eval)
+    output leg ship to the verify — never an all-pairs product; (4)
+    exact verify on the packed code arrays (array_intersect, |pairs|
+    rows);
     (5) expand representatives back to (train, eval) member pairs,
     including the within-group arm (a train doc VERBATIM-equal to an
     eval doc is the most contaminated case of all — Jaccard literal
@@ -1585,7 +1597,8 @@ def corpus_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from powertrainstreaming_spark.operators.dedup import (
         _JAC_COLLAPSE_MAX_MULT,
-        _band_sigs_from_h,
+        _MINHASH_B,
+        _band_sigs_wide_from_h,
         _doc_tokens,
     )
 
@@ -1630,27 +1643,62 @@ def corpus_decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # Band each DISTINCT set once from its code array.
+    # Band each DISTINCT set once from its code array — WIDE form
+    # (round 11: the dedup_near_minhash first-match-band discipline
+    # back-ported here, deleting this op's pair-stream .distinct()
+    # exchange — the same ~1.5× duplicate stream the round-10 minhash
+    # receipt measured).  Each side also carries three lossless
+    # candidate prunes as scalar columns:
+    #   n  — set size, for the EXACT-INT size-ratio prune (J ≥ 0.9
+    #        forces 9·max ≤ 10·min; verified output unchanged);
+    #   ht/he — bears-train / bears-eval flags: a pair expands to
+    #        output only via train(A)×eval(B) or train(B)×eval(A), so
+    #        (ht_a ∧ he_b) ∨ (ht_b ∧ he_a) keeps exactly the pairs
+    #        that can emit rows (train-only×train-only LSH collisions
+    #        previously rode all the way through the array verify).
     rep_h = grp.select(
         F.col("rep").alias("doc_id"), F.explode("codes").alias("c")
     ).select("doc_id", F.expr("c div 2147483648").alias("h"))
-    sigs = _band_sigs_from_h(rep_h)
-    sa = sigs.select(F.col("doc_id").alias("rep_a"), "band", "sig")
+    meta = grp.select(
+        F.col("rep").alias("doc_id"),
+        F.size("codes").alias("n"),
+        (F.size("train_members") >= 1).alias("ht"),
+        (F.size("eval_members") >= 1).alias("he"),
+    )
+    sigs = _band_sigs_wide_from_h(rep_h).join(meta, "doc_id")
+    sa = sigs.select(
+        F.col("doc_id").alias("rep_a"),
+        "band",
+        "sig",
+        F.col("n").alias("na"),
+        F.col("ht").alias("ht_a"),
+        F.col("he").alias("he_a"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(_MINHASH_B - 1)],
+    )
     sb = sigs.select(
         F.col("doc_id").alias("rep_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
+        F.col("n").alias("nb"),
+        F.col("ht").alias("ht_b"),
+        F.col("he").alias("he_b"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(_MINHASH_B - 1)],
     )
-    cand = (
-        sa.join(
-            sb,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("sig") == F.col("sig_b"))
-            & (F.col("rep_a") < F.col("rep_b")),
+    first_match = F.lit(True)
+    for j in range(_MINHASH_B - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.col(f"sa{j}") != F.col(f"sb{j}"))
         )
-        .select("rep_a", "rep_b")
-        .distinct()
-    )
+    cand = sa.join(
+        sb,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("sig") == F.col("sig_b"))
+        & (F.col("rep_a") < F.col("rep_b"))
+        & (F.col("na") * _FUZZY_TAU_DEN >= F.col("nb") * _FUZZY_TAU_NUM)
+        & (F.col("nb") * _FUZZY_TAU_DEN >= F.col("na") * _FUZZY_TAU_NUM)
+        & ((F.col("ht_a") & F.col("he_b")) | (F.col("ht_b") & F.col("he_a")))
+        & first_match,
+    ).select("rep_a", "rep_b")
     ga = grp.select(
         F.col("rep").alias("rep_a"),
         F.col("codes").alias("codes_a"),

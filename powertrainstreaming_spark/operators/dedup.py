@@ -480,83 +480,48 @@ _MINHASH_B = _MINHASH_K // _MINHASH_R  # 4 bands
 # P(candidate | j) = 1-(1-j^r)^b: ~0.99 at j=0.95, ~0.12 at j=0.65
 # (this corpus's median) — high recall at τ with bounded candidates.
 
-def _minhash_band_sigs(toks: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) banded MinHash signatures — the Spark twin
-    of _MINHASH_SIG_CTES, shared by the full-corpus and incremental
-    near-dup joins.  k=32 (_MINHASH_K) seeded min-hashes via the
-    exact-int64 seed family h_i(t) = ((2i+1)·H(t) + i) mod p, folded
-    into 4 bands (_MINHASH_B) of 8 rows (_MINHASH_R)."""
-    return _band_sigs_from_h(
-        toks.select("doc_id", poly_hash("token").alias("h"))
-    )
+def _band_sigs_wide_from_h(th: DataFrame, with_n: bool = False) -> DataFrame:
+    """(doc_id, band, sig, s0..s{B-2}[, n]) — banded MinHash
+    signatures (k=32 seeded min-hashes via the exact-int64 seed
+    family h_i(t) = ((2i+1)·H(t) + i) mod p, folded into b=4 bands of
+    r=8) from already-hashed tokens (doc_id, h), with every EARLIER
+    band's signature carried as scalar columns: the input shape of
+    the first-match-band join discipline (round 10).  Emitting a
+    candidate pair only from its LOWEST matching band makes the band
+    join's output exactly-once per candidate, deleting both the
+    ~1.5-2.6× duplicate pair stream (at j ≈ τ a true pair matches
+    most of the b bands) and the pair-stream ``.distinct()`` shuffle
+    that deduplicated it.  Width cost: (b−1) extra int64s on the
+    distinct-set-proportional sig rows — noise next to the
+    pair-proportional stream it deletes.  Since round 11 every banded
+    operator consumes this wide form (dedup_near_minhash and
+    corpus_decontam_minhash from collapsed code arrays — h = code div
+    2³¹ recovers the primary poly-hash exactly, codes pack h1·2³¹ +
+    h2 with both halves < 2³¹, bit-identical to hashing raw tokens;
+    dedup_incremental_minhash from the raw per-doc token stream), so
+    ``_MINHASH_SIG_CTES`` remains the single shared oracle.
 
-
-def _band_sigs_from_h(th: DataFrame) -> DataFrame:
-    """Banded signatures from already-hashed tokens (doc_id, h) — split
-    out so operators that collapse exact-duplicate sets first (house
-    rule) can band each DISTINCT set once from its stored code array
-    (h = code div 2³¹ recovers the primary poly-hash exactly: codes
-    pack h1·2³¹ + h2 with both halves < 2³¹) instead of re-hashing
-    member documents.  Values are bit-identical to hashing the raw
-    tokens, so _MINHASH_SIG_CTES stays the shared oracle either way."""
+    ``with_n=True`` additionally carries the per-doc distinct-token
+    count ``n`` (computed in the SAME hash aggregate — no extra
+    shuffle), for callers that band raw per-doc token streams and
+    want the exact-int size-ratio prune in their join condition
+    (dedup_incremental_minhash; the collapsed ops get n from their
+    group table instead)."""
     # All k mins in ONE hash aggregate as k columns — NOT an
     # explode(sequence(0, k-1)) + groupBy(doc_id, seed): the explode
     # materializes k× the token rows through the aggregate iterator
     # (~875M rows at the 100× probe tier) for the identical partial-agg
     # output.  Column-wise, the map side streams each token row once
     # and updates k accumulators; shuffle volume is docs × k longs
-    # either way, but CPU drops ~k-fold.
+    # either way, but CPU drops ~k-fold.  Band folds (seed order) are
+    # bit-identical to the historical explode+collect_list
+    # formulation, so _MINHASH_SIG_CTES needs no change.
     mins = th.groupBy("doc_id").agg(
         *[
             F.min(((2 * i + 1) * F.col("h") + i) % POLY_M).alias(f"mh{i}")
             for i in range(_MINHASH_K)
-        ]
-    )
-    # Fold each band's r mins (seed order) into one signature, then
-    # stack the b bands into (doc_id, band, sig) rows — a b-element
-    # explode per doc, not per token.  Values are bit-identical to the
-    # historical explode+collect_list formulation (same mins, same
-    # fold order), so _MINHASH_SIG_CTES needs no change.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                poly_fold(
-                    F.array(
-                        *[
-                            F.col(f"mh{b * _MINHASH_R + j}")
-                            for j in range(_MINHASH_R)
-                        ]
-                    )
-                ).alias("sig"),
-            )
-            for b in range(_MINHASH_B)
-        ]
-    )
-    return mins.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
-
-
-def _band_sigs_wide_from_h(th: DataFrame) -> DataFrame:
-    """(doc_id, band, sig, s0..s{B-2}) — ``_band_sigs_from_h`` plus
-    every EARLIER band's signature carried as scalar columns, the
-    input shape of the first-match-band join discipline (round 10):
-    emitting a candidate pair only from its LOWEST matching band makes
-    the band join's output exactly-once per candidate, deleting both
-    the ~2.6× duplicate pair stream (at j ≈ τ a true pair matches most
-    of the b bands) and the pair-stream ``.distinct()`` shuffle that
-    deduplicated it.  Width cost: (b−1) extra int64s on the
-    distinct-set-proportional sig rows — noise next to the
-    pair-proportional stream it deletes.  Signatures are computed by
-    the identical min/fold expressions as ``_band_sigs_from_h`` (same
-    single hash aggregate, same per-doc explode), so the shared
-    ``_MINHASH_SIG_CTES`` oracle is unchanged."""
-    mins = th.groupBy("doc_id").agg(
-        *[
-            F.min(((2 * i + 1) * F.col("h") + i) % POLY_M).alias(f"mh{i}")
-            for i in range(_MINHASH_K)
-        ]
+        ],
+        *([F.count(F.lit(1)).alias("n")] if with_n else []),
     )
     sig_col = [
         poly_fold(
@@ -569,8 +534,11 @@ def _band_sigs_wide_from_h(th: DataFrame) -> DataFrame:
         )
         for b in range(_MINHASH_B)
     ]
+    extra = ["n"] if with_n else []
     wide = mins.select(
-        "doc_id", *[sig_col[b].alias(f"s{b}") for b in range(_MINHASH_B)]
+        "doc_id",
+        *[sig_col[b].alias(f"s{b}") for b in range(_MINHASH_B)],
+        *extra,
     )
     bands = F.array(
         *[
@@ -584,11 +552,13 @@ def _band_sigs_wide_from_h(th: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(bands).alias("bs"),
         *[F.col(f"s{j}") for j in range(_MINHASH_B - 1)],
+        *extra,
     ).select(
         "doc_id",
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
         *[F.col(f"s{j}") for j in range(_MINHASH_B - 1)],
+        *extra,
     )
 
 
@@ -1421,7 +1391,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simulated deterministically as doc_id % 10 == 0 (~10%).
 
     Candidate generation is the same banded-MinHash equi-join as
-    dedup_near_minhash (shared _minhash_band_sigs /_MINHASH_SIG_CTES),
+    dedup_near_minhash (shared signature family / _MINHASH_SIG_CTES),
     but the band join is ASYMMETRIC: new-side signatures against
     reference-side signatures only.  No ref×ref pairs are ever formed,
     so per-ingest cost is O(|batch| + collisions), not O(|corpus|²) —
@@ -1432,24 +1402,49 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification and τ are identical to the full-corpus twin, so
     incremental output ⊆ full output restricted to new×ref pairs (the
     subset law a user migrating between the two relies on).
+
+    Round 11: the band join adopted the first-match-band discipline
+    (earlier bands' signatures as b−1 scalar columns in the join
+    condition — exactly-once candidate emission, the pair-stream
+    .distinct() exchange deleted) plus the EXACT-INT size-ratio
+    prune, both back-ported from the full-corpus twin; with_n=True
+    computes the per-doc set size inside the signature hash
+    aggregate, so the prune costs no extra shuffle.  Output is
+    invariant (the prune is lossless for verified ≥ τ pairs;
+    first-match only dedups emission) — re-proven by hash.
     """
     toks = _doc_tokens(spark, sf_dir)
-    sigs = _minhash_band_sigs(toks)
+    sigs = _band_sigs_wide_from_h(
+        toks.select("doc_id", poly_hash("token").alias("h")), with_n=True
+    )
     is_new = F.col("doc_id") % _INCR_MOD == 0
-    sa = sigs.filter(is_new).select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    sa = sigs.filter(is_new).select(
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "sig",
+        F.col("n").alias("na"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(_MINHASH_B - 1)],
+    )
     sb = sigs.filter(~is_new).select(
         F.col("doc_id").alias("doc_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
+        F.col("n").alias("nb"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(_MINHASH_B - 1)],
     )
-    candidates = (
-        sa.join(
-            sb,
-            (F.col("band") == F.col("band_b")) & (F.col("sig") == F.col("sig_b")),
+    first_match = F.lit(True)
+    for j in range(_MINHASH_B - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.col(f"sa{j}") != F.col(f"sb{j}"))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    candidates = sa.join(
+        sb,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("sig") == F.col("sig_b"))
+        & (F.col("na") * _JAC_TAU_DEN >= F.col("nb") * _JAC_TAU_NUM)
+        & (F.col("nb") * _JAC_TAU_DEN >= F.col("na") * _JAC_TAU_NUM)
+        & first_match,
+    ).select("doc_a", "doc_b")
     return (
         _pair_jaccard(toks, candidates)
         .filter(F.col("jaccard") >= _JAC_TAU)
