@@ -1013,6 +1013,19 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs stage, identical scaling story to MinHash banding but
     over a single 8-byte fingerprint, which is why SimHash is the
     cheapest near-dup index at 100 TB.
+
+    Round 11: the band join adopted the FIRST-MATCH-BAND discipline
+    (uniform across every banded operator since this round) — a pair
+    within Hamming ≤ {d} agrees on up to {b} bands and was emitted
+    once per agreeing band, then deduplicated by a pair-stream
+    .distinct() exchange; now a joined row survives only if no
+    EARLIER band also agrees, so emission is exactly-once and the
+    exchange is deleted.  Uniquely cheap here: both full fingerprints
+    already ride the join, so the earlier-band comparisons are plain
+    shift/mask expressions on fp_a/fp_b — no extra columns at all.
+    [MEASURED sf0.1] old duplicate stream 4,451,604 rows over
+    3,420,908 distinct candidates (1.30×); first-match emits exactly
+    the distinct count (asserted in-session), output hash-identical.
     """
     from powertrainstreaming_spark.operators.text import text_fingerprint
 
@@ -1036,16 +1049,23 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
         F.col("band").alias("band_b"), F.col("band_val").alias("band_val_b"),
     )
-    candidates = (
-        ba.join(
-            bb,
-            (F.col("band") == F.col("band_b"))
-            & (F.col("band_val") == F.col("band_val_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    first_match = F.lit(True)
+    for j in range(_SIMHASH_BANDS - 1):
+        first_match = first_match & (
+            (F.col("band") <= j)
+            | (
+                F.expr(f"(fp_a >> {j * _SIMHASH_BAND_BITS}) & {mask}")
+                != F.expr(f"(fp_b >> {j * _SIMHASH_BAND_BITS}) & {mask}")
+            )
         )
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-    )
+    candidates = ba.join(
+        bb,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("band_val") == F.col("band_val_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & first_match,
+    ).select("doc_a", "doc_b", "fp_a", "fp_b")
     return candidates.withColumn(
         "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     ).filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING).select(
