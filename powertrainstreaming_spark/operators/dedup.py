@@ -262,7 +262,9 @@ def _collapse_sets(toks: DataFrame, label: str) -> DataFrame:
     )
 
 
-def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
+def _verify_expand(
+    cands: DataFrame, grp: DataFrame, tau: float = _JAC_TAU
+) -> DataFrame:
     """Exact-Jaccard verify of representative candidate pairs + member
     expansion — the scalar-emitting back half shared by _tau_pairs and
     dedup_near_minhash (the sim_containment_join discipline, round-8
@@ -280,10 +282,12 @@ def _verify_expand(cands: DataFrame, grp: DataFrame) -> DataFrame:
     1.0 — the value the oracle's arithmetic produces (i = na = nb ⇒
     round(i/(na+nb−i), 6) = 1.0).
     """
-    return _verify_cross(cands, grp).unionAll(_within_pairs(grp))
+    return _verify_cross(cands, grp, tau).unionAll(_within_pairs(grp))
 
 
-def _verify_cross(cands: DataFrame, grp: DataFrame) -> DataFrame:
+def _verify_cross(
+    cands: DataFrame, grp: DataFrame, tau: float = _JAC_TAU
+) -> DataFrame:
     """The cross-group half of ``_verify_expand``: verify + member
     expansion for representative candidate pairs only.  Split out
     (round 11) so the single-host scale path can run it in sequential
@@ -319,7 +323,7 @@ def _verify_cross(cands: DataFrame, grp: DataFrame) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= _JAC_TAU)
+        .filter(F.col("jaccard") >= tau)
         .select(
             F.explode("members_a").alias("ma"),
             F.col("members_b").alias("mbs"),
@@ -893,6 +897,9 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_TAU = 0.90
+# EXACT-INT size-ratio prune operands (the _JAC_TAU_NUM discipline).
+_NGRAM_TAU_NUM, _NGRAM_TAU_DEN = 9, 10
+assert _NGRAM_TAU_NUM / _NGRAM_TAU_DEN == _NGRAM_TAU
 
 
 @query(
@@ -930,6 +937,32 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural text.  Same candidate/verify machinery as the unigram
     operator (the shingle IS the token) with the inverted-index join
     on shingles — rarer than unigrams, so postings are shorter.
+
+    Round 11 rework onto the full house discipline (the op previously
+    violated the collapse-before-pair-generation rule and shuffled
+    bigram STRINGS through its inverted-index join):
+    (1) EXACT-DUPLICATE COLLAPSE of identical bigram sets first
+    (_collapse_sets over the shingle stream — m verbatim clones would
+    otherwise amplify every posting m-fold and every candidate pair
+    m²-fold); (2) postings carry packed int64 CODES, never the shingle
+    string (strings are hashed map-side inside the collapse aggregate;
+    the double-hash collision argument is _pair_jaccard's, unchanged);
+    (3) the posting join carries the EXACT-INT size-ratio prune
+    (J ≥ 0.9 forces 9·max ≤ 10·min) on set sizes riding the posting
+    rows; (4) shared packed verify + member expansion
+    (_verify_expand at τ = 0.9) — identical sets emit within-group
+    pairs at literal 1.0, matching the oracle's arithmetic.  The
+    candidate .distinct() stays: an inverted index emits one row per
+    SHARED shingle, and unlike banding there is no bounded per-row
+    signature set to unroll a first-match predicate over — but the
+    size prune now fires BEFORE it.  [MEASURED sf0.1] old plan:
+    36.47M-row string-keyed stream → 10.30M distinct pairs (3.5×),
+    all verified; new plan: 36.35M int-keyed posting rows → size
+    prune 7.03M (−80.7% through the distinct exchange) → 1.38M
+    distinct candidates (7.5× fewer array-shipping verify rows).
+    Output invariant — the oracle still replays the per-doc string
+    pipeline and the hash gate re-proves the collapse equivalence at
+    every scale (re-proven sf0.001/0.01/0.1 this round).
     """
     docs = load(spark, sf_dir, "documents")
     toks_arr = F.split(F.col("text"), " ")
@@ -942,21 +975,29 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = docs.select(
         "doc_id", F.explode(F.array_distinct(bigrams)).alias("token")
     )
-    ta = shingles.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = shingles.select(
-        F.col("doc_id").alias("doc_b"), F.col("token").alias("token_b")
+    grp = _collapse_sets(shingles, "ngram")
+    ta = grp.select(
+        F.col("rep").alias("doc_a"),
+        F.size("codes").alias("na"),
+        F.explode("codes").alias("code"),
+    )
+    tb = grp.select(
+        F.col("rep").alias("doc_b"),
+        F.size("codes").alias("nb"),
+        F.explode("codes").alias("code_b"),
     )
     candidates = (
         ta.join(
             tb,
-            (F.col("token") == F.col("token_b")) & (F.col("doc_a") < F.col("doc_b")),
+            (F.col("code") == F.col("code_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") * _NGRAM_TAU_DEN >= F.col("nb") * _NGRAM_TAU_NUM)
+            & (F.col("nb") * _NGRAM_TAU_DEN >= F.col("na") * _NGRAM_TAU_NUM),
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _pair_jaccard(shingles, candidates).filter(
-        F.col("jaccard") >= _NGRAM_TAU
-    )
+    return _verify_expand(candidates, grp, tau=_NGRAM_TAU)
 
 
 _SIMHASH_BANDS = 4
