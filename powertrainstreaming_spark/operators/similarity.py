@@ -1140,13 +1140,16 @@ def _lsh_weights(plane: int) -> list[int]:
     ]
 
 
-def _lsh_sig_structs(mod: Column) -> list[Column]:
-    """Per-band signature structs with extension planes GATED by the
-    in-plan modulus: plane j ≥ _LSH_BITS is live iff 2^j < mod, which
-    is bit-for-bit the same set a `sig % mod` mask would keep (mod is
-    a power of two) — but the projection behind an inactive plane is
-    never evaluated (CASE branches are lazy in codegen), so signature
-    cost tracks the active plane count, not _LSH_MAX_BITS."""
+def _lsh_sig_exprs(mod: Column) -> list[Column]:
+    """Per-band signature expressions with extension planes GATED by
+    the in-plan modulus: plane j ≥ _LSH_BITS is live iff 2^j < mod,
+    which is bit-for-bit the same set a `sig % mod` mask would keep
+    (mod is a power of two) — but the projection behind an inactive
+    plane is never evaluated (CASE branches are lazy in codegen), so
+    signature cost tracks the active plane count, not _LSH_MAX_BITS.
+    Returned as raw int columns (one per band) so the caller can lay
+    them out as s0..s{b−1} scalar columns — the wide shape the
+    first-match-band join discipline needs (round 11)."""
     sigs = []
     for band in range(_LSH_BANDS):
         sig = F.lit(0)
@@ -1157,11 +1160,7 @@ def _lsh_sig_structs(mod: Column) -> list[Column]:
             if j >= _LSH_BITS:
                 bit = F.when(F.lit(2**j) < mod, bit).otherwise(F.lit(0))
             sig = sig + bit
-        sigs.append(
-            F.struct(
-                F.lit(band).alias("band"), sig.cast("int").alias("sig")
-            )
-        )
+        sigs.append(sig.cast("int"))
     return sigs
 
 
@@ -1242,7 +1241,13 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket),
     generated by a self-equi-join on the band key — the shuffle is keyed
     on (band, sig), candidate volume is Σ|bucket|² per band, never n².
-    Rerank: exact dot on the deduped candidate set, keep sim ≥ τ.
+    Rerank: exact dot on the exactly-once candidate set, keep sim ≥ τ.
+    Round 11: the band join adopted the FIRST-MATCH-BAND discipline
+    (each band's sig computed once as a scalar column, earlier bands'
+    sigs carried on the sig rows, pair emitted from its lowest
+    matching band only) — the pair-stream .distinct() exchange that
+    deduplicated the multi-band emissions is deleted, matching every
+    other banded operator in the package.
 
     The signature join carries only (vec_id, band, sig) — 3 ints per
     vector per band — and embeddings are re-joined by id only for the
@@ -1301,39 +1306,63 @@ def sim_lsh_rp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).isNull()
     )
-    sigs = (
+    # Wide signature layout (round 11): compute each band's sig ONCE
+    # as a plain column, then explode the (band, sig) structs while
+    # carrying every EARLIER band's sig as s0..s{b-2} — the
+    # first-match-band input shape shared with dedup_near_minhash.
+    sig_exprs = _lsh_sig_exprs(F.col("mod"))
+    wide = (
         grp.crossJoin(F.broadcast(ncnt))
         .withColumn("mod", _lsh_mod_expr(F.col("n")))
         .select(
             F.col("rep").alias("vec_id"),
-            F.explode(
-                F.array(*_lsh_sig_structs(F.col("mod")))
-            ).alias("bs"),
-        )
-        .select(
-            "vec_id",
-            F.col("bs.band").alias("band"),
-            F.col("bs.sig").alias("sig"),
+            *[sig_exprs[b].alias(f"s{b}") for b in range(_LSH_BANDS)],
         )
     )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"s{b}").alias("sig"))
+            for b in range(_LSH_BANDS)
+        ]
+    )
+    sigs = wide.select(
+        "vec_id",
+        F.explode(band_structs).alias("bs"),
+        *[F.col(f"s{j}") for j in range(_LSH_BANDS - 1)],
+    ).select(
+        "vec_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+        *[F.col(f"s{j}") for j in range(_LSH_BANDS - 1)],
+    )
     a = sigs.select(
-        F.col("vec_id").alias("vec_a"), "band", F.col("sig").alias("sig_a")
+        F.col("vec_id").alias("vec_a"),
+        "band",
+        F.col("sig").alias("sig_a"),
+        *[F.col(f"s{j}").alias(f"sa{j}") for j in range(_LSH_BANDS - 1)],
     )
     b = sigs.select(
         F.col("vec_id").alias("vec_b"),
         F.col("band").alias("band_b"),
         F.col("sig").alias("sig_b"),
+        *[F.col(f"s{j}").alias(f"sb{j}") for j in range(_LSH_BANDS - 1)],
     )
-    cand = (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (F.col("sig_a") == F.col("sig_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+    # First-match-band: keep a joined row only if no EARLIER band also
+    # matches — exactly-once candidate emission, the pair-stream
+    # .distinct() exchange deleted (unrolled scalar comparisons per
+    # the CLAUDE.md lambda rule; b-1 = 5 of them).
+    first_match = F.lit(True)
+    for j in range(_LSH_BANDS - 1):
+        first_match = first_match & (
+            (F.col("band") <= j) | (F.col(f"sa{j}") != F.col(f"sb{j}"))
         )
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (a.band == b.band_b)
+        & (F.col("sig_a") == F.col("sig_b"))
+        & (F.col("vec_a") < F.col("vec_b"))
+        & first_match,
+    ).select("vec_a", "vec_b")
     reps = grp.select("rep", "embedding", "members")
     ea = reps.select(
         F.col("rep").alias("vec_a"),
