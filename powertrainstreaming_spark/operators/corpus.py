@@ -1521,6 +1521,10 @@ assert _FUZZY_TAU_NUM / _FUZZY_TAU_DEN == _FUZZY_DECONTAM_TAU
 
 
 def _fuzzy_decontam_oracle() -> str:
+    # NOT collapsed (round 12, measured): the directional train×eval
+    # band join keeps `cand` tiny, so the collapsed replay LOSES at
+    # sf0.1 (5.4 s vs 1.3 s) — see dedup._collapsed_minhash_ctes,
+    # which only the undirected full-corpus minhash oracle adopts.
     from powertrainstreaming_spark.operators.dedup import _MINHASH_SIG_CTES
 
     return f"""
