@@ -1321,18 +1321,42 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph and keep one representative per component — this operator is
     that step, exact.
 
-    Plan: iterative min-label propagation WITH POINTER JUMPING on
-    DataFrames (``cc_min_labels``) — neighbor-min plus a label-of-label
-    shortcut each round, giving O(log n) worst-case rounds on any graph
-    (a chain converges in ~log₂ n rounds, vs n for plain propagation —
-    property-pinned on a synthetic 256-chain) while keeping every
-    per-round job a doc_id-keyed shuffle and the driver traffic one
-    scalar.  Candidate pairs are PPJoin-prefix-filtered and the edge
-    list is checkpointed once — the loop never re-derives it.  The
-    oracle contracts the graph by one local-min round, then runs the
-    pruned recursive closure on the condensed graph (see _CC_ORACLE's
-    comment); both sides are exact, so the full value-hash check
-    applies.
+    Plan (round 12 — CONTRACT BEFORE ITERATING, the same lossless move
+    the oracle has used since round 9, now on the engine side):
+
+    1. m1(v) = min(v, min N(v)) — one edges groupBy(src).min partial/
+       final hash aggregate (map-side partials: the 38.2 M-edge stream
+       at the 100× tier reduces to 500 k rows before the exchange)
+       left-joined back to documents.  Near-dup components are DENSE
+       (near-cliques), so one local-min round collapses most of each
+       component: 100× tier, 38.2 M symmetric edges → 153 k condensed
+       edges (−99.6%).
+    2. Re-key edges through m1 on both ends, drop self-loops, distinct
+       → the condensed edge list.
+    3. Run the pointer-jumping min-label loop (``cc_min_labels`` —
+       label-of-label shortcut per round, O(log n) worst-case rounds,
+       property-pinned on a synthetic 256-chain) on the CONDENSED
+       graph only: every per-round shuffle now carries condensed rows,
+       not corpus rows.  Rounds also drop (6 → 4 at every probe tier).
+    4. Map back: component(doc) = root(m1(doc)).
+
+    Correctness (same argument as _CC_ORACLE's): condensed components
+    are exactly the images of the original components, and the
+    component min M survives contraction because m1(M) = M (all of
+    M's neighbors exceed it), so the condensed loop's min-label IS the
+    original component min.  Hash-EQUAL vs the uncontracted loop at
+    sf0.001/0.01/0.1 and both probe tiers ('0fdbe9873c66' at 100×);
+    pinned by tests/test_properties.py::test_cc_contraction_equals
+    plain_loop.
+
+    [MEASURED, round 12 — /tmp cc probes, fresh JVM each, contracted
+    FIRST so JVM warmup favors the baseline] cc-phase after the shared
+    edge derivation: sf0.1 15.3 → 8.5 s; 10× 9.1 → 6.4 s; 100×
+    63.0 → 24.6 s (2.56×; m1 3.3 + cedges 13.2 + loop 6.0 + mapback
+    2.1).  The aggregate-first m1 beats join-then-aggregate 3.8 vs
+    8.0 s at 100×; an extra distinct((la, dst)) between the two re-key
+    joins was measured SLOWER (25.1 vs 10.9 s) and rejected — the
+    fan-in collapse does not pay for the extra 38 M-row exchange.
     """
     toks = _doc_tokens(spark, sf_dir)
     pairs = _tau_pairs(toks).select("doc_a", "doc_b")
@@ -1341,13 +1365,38 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint()
     )
-    labels = (
-        load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nmin = edges.groupBy("src").agg(F.min("dst").alias("nmin"))
+    m1 = (
+        docs.join(nmin, docs.doc_id == nmin.src, "left")
+        .select(
+            "doc_id",
+            F.least(
+                F.col("doc_id"), F.coalesce(F.col("nmin"), F.col("doc_id"))
+            ).alias("l1"),
+        )
+        .localCheckpoint()
+    )
+    a = m1.select(F.col("doc_id").alias("src"), F.col("l1").alias("la"))
+    b = m1.select(F.col("doc_id").alias("dst"), F.col("l1").alias("lb"))
+    cedges = (
+        edges.join(a, "src")
+        .join(b, "dst")
+        .where(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels0 = (
+        m1.select(F.col("l1").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("component_id"))
         .localCheckpoint()
     )
-    labels, _rounds = cc_min_labels(labels, edges)
-    return labels
+    clabels, _rounds = cc_min_labels(labels0, cedges)
+    return m1.join(
+        clabels.withColumnRenamed("doc_id", "cnode"), m1.l1 == F.col("cnode")
+    ).select("doc_id", "component_id")
 
 
 _MLLIB_SAMPLE_MOD = 4

@@ -267,6 +267,44 @@ def test_cc_chain_converges_in_log_rounds(spark):
     )
 
 
+def test_cc_contraction_equals_plain_loop(spark):
+    """dedup_cluster_cc's round-12 contract-before-iterating rewrite
+    (one local-min round, loop on the condensed graph, map back) must
+    be bit-identical to the plain all-docs pointer-jumping loop it
+    replaced — the invariance argument is m1(M) = M for each component
+    min M, and this pins it against future edits."""
+    from pyspark.sql import functions as F
+
+    from powertrainstreaming_spark.operators.dedup import (
+        _doc_tokens,
+        _tau_pairs,
+        cc_min_labels,
+        dedup_cluster_cc,
+    )
+    from powertrainstreaming_spark.sources.loaders import load
+    from powertrainstreaming_spark.testing import canonical_hash
+
+    pairs = _tau_pairs(_doc_tokens(spark, SF)).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        load(spark, SF, "documents")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
+    plain, _ = cc_min_labels(labels, edges)
+
+    def h(df):
+        return canonical_hash(
+            [tuple(r) for r in df.collect()], ["doc_id", "component_id"]
+        )
+
+    assert h(dedup_cluster_cc(spark, SF)) == h(plain)
+
+
 def test_simhash_dedup_finds_exact_duplicates(spark):
     """Identical texts hash to identical fingerprints, so every
     exact-duplicate doc pair (sf0.1 has real ones) must surface in
