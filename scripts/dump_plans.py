@@ -7,10 +7,14 @@ Writes OUTDIR/<key>_<SUFFIX>.txt for each key.  Keys must exist in the
 registry of whatever repo checkout is first on sys.path — run it from a
 git worktree of an older commit to capture "before" plans.
 
-Plans are captured lazily (no execution): _explain only builds the
-DataFrame and renders the AdaptiveSparkPlan's initial physical plan,
-which is the artifact the judge reads (Exchange count, join strategy,
-PushedFilters/ReadSchema, codegen spans, Python eval nodes).
+No action is triggered by the script itself — _explain only renders
+the AdaptiveSparkPlan's initial physical plan, which is the artifact
+the judge reads (Exchange count, join strategy, PushedFilters/
+ReadSchema, codegen spans, Python eval nodes).  Some query BUILDERS
+do execute Spark jobs while constructing the DataFrame, though
+(eager localCheckpoints, iterative trainers' collects), so capture
+is not always free, and an iterative op's dumped plan is the final
+stitch-up over its checkpoints, not the loop.
 """
 
 from __future__ import annotations
@@ -27,8 +31,16 @@ from powertrainstreaming_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        print("ERROR: need OUTDIR and SUFFIX (and at least one key).")
+        raise SystemExit(2)
     outdir, suffix = sys.argv[1], sys.argv[2]
     keys = sys.argv[3:]
+    if not keys:
+        print(__doc__)
+        print("WARNING: no keys given — nothing to dump.")
+        raise SystemExit(2)
     os.makedirs(outdir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="pts-dump-plans")
