@@ -502,23 +502,26 @@ def _assign_cells(
     argmax cosine via a struct-max aggregate — one map-side join plus
     one groupBy on vec_id, no row explosion survives the shuffle.
 
-    At ADAPTIVE codebook sizes (cent_list given AND k > _KM_K — i.e.
-    never on a fixture/golden path), the crossJoin form is replaced by
-    an Arrow-batched GEMM assign (_assign_cells_gemm): the crossJoin
-    materializes n·k rows with an interpreted dot each, and with
-    k ∝ n (the _adaptive_k ladder) that is the NEXT quadratic term
-    after the pair work is fixed — the round-11 perturbed probe
-    measured the 100×/k=2048 trainer at 1351 s, wholly assign-bound.
-    FAISS spends the same n·k FLOPs but at BLAS speed; mapInPandas
-    over the broadcast numpy codebook is the Spark-first equivalent
-    (map-only, no shuffle at all — strictly better than the
-    crossJoin's groupBy).  Tie-break parity: among equal sims the
-    struct-max takes the HIGHEST cent_id; the GEMM path's
-    last-argmax does the same.  Float summation order differs from
-    the fold (BLAS vs sequential), so a vanishingly-near-tie could
-    assign differently — irrelevant on the k > 16 path, which no
-    golden or oracle depends on."""
-    if cent_list is not None and len(cent_list) > _KM_K:
+    Whenever the caller has the codebook as a plain list (every
+    trainer iteration and the cluster ops' final assigns), the
+    crossJoin form is replaced by an Arrow-batched GEMM assign
+    (_assign_cells_gemm): the crossJoin materializes n·k rows with an
+    interpreted dot each, and with k ∝ n (the _adaptive_k ladder)
+    that is the NEXT quadratic term after the pair work is fixed —
+    the round-11 perturbed probe measured the 100×/k=2048 trainer at
+    1351 s, wholly assign-bound.  FAISS spends the same n·k FLOPs but
+    at BLAS speed; mapInPandas over the broadcast numpy codebook is
+    the Spark-first equivalent (map-only, no shuffle at all —
+    strictly better than the crossJoin's groupBy).  Tie-break parity:
+    among equal sims the struct-max takes the HIGHEST cent_id; the
+    GEMM path's last-argmax does the same.  Float summation order
+    differs from the fold (BLAS vs sequential), so a vanishingly-
+    near-tie could assign differently — round 12 lowered the gate
+    from k > _KM_K to ANY cent_list (the round-11 verdict's task #6)
+    and the golden snapshots came out BIT-IDENTICAL (update_golden
+    produced an empty diff), so no fixture near-tie exists;
+    test_gemm_assign_matches_structmax_assign pins the parity."""
+    if cent_list is not None:
         return _assign_cells_gemm(emb, cent_list)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
