@@ -603,8 +603,12 @@ def _assign_cells_top2(
     the GEMM assign's stable-ascending argsort, last two columns —
     identical tie-break by construction (stable ascending sort leaves
     equal sims in ascending cent-index order, so the tail is the
-    highest cent_id)."""
-    if cent_list is not None and len(cent_list) > _KM_K:
+    highest cent_id).  Round 12: gate lowered from k > _KM_K to ANY
+    cent_list call, same as _assign_cells (task #6) — goldens
+    regenerated bit-identical, so the fixture path exercises the GEMM
+    argsort and the crossJoin top-2 survives only for callers without
+    a codebook list."""
+    if cent_list is not None:
         import numpy as np
 
         order = sorted(cent_list)
