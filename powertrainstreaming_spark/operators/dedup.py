@@ -1220,9 +1220,16 @@ _CC_MAX_ITERS = 50
 #      passes every hop, so MIN(label) is unchanged.
 # MATERIALIZED hints matter: DuckDB 1.0 inlines multiply-referenced
 # CTEs, and an inlined `edges` would be re-derived from the token join
-# on every recursion step.
+# on every recursion step.  But the hint cuts BOTH ways — `toks` must
+# stay INLINED: materializing it forces the token self-join to run
+# against an opaque temp table instead of the optimized scan+unnest
+# pipeline, [MEASURED round 12] 38-41 s vs 3.9-8.9 s for the pair
+# derivation alone at sf0.1 (full oracle 78.0 -> 8.0 s same-window,
+# rows EQUAL at sf0.001/0.01/0.1).  MATERIALIZED is a pure performance
+# hint in DuckDB (never semantic), so only edges/m1/cedges — the CTEs
+# whose re-derivation is the actual hazard — carry it.
 _CC_ORACLE = f"""
-    WITH RECURSIVE toks AS MATERIALIZED (
+    WITH RECURSIVE toks AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents),
     sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc_id),
