@@ -431,6 +431,15 @@ def _tau_pairs(toks: DataFrame) -> DataFrame:
     # window: the unordered-frame window buffers every doc's rows a
     # second time through the same exchange and [MEASURED round 7]
     # cost ~+35% end-to-end at the 100× tier (353.1 s vs 259.8 s).
+    # ALSO not carried as size(codes) from grp through the explode
+    # (the minhash family's with_n trick): that widens the OCCURRENCE-
+    # proportional token exchange by 8 B/row to delete only this DOC-
+    # proportional, map-side-partial-aggregated exchange — [MEASURED
+    # round 12, scripts/probe_tau_ncarry.py] parity at sf0.1 and a
+    # clear LOSS at 10× (cands 3.74 → 4.65 s, full op 9.30 → 14.28 s,
+    # outputs exceptAll-equal both ways).  The two families differ
+    # because minhash computes n inside an aggregate it ALREADY runs
+    # per doc; _tau_pairs has no such aggregate to piggyback on.
     sizes = rep_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
         rep_toks.join(df_, "token")
